@@ -1,0 +1,115 @@
+"""Exact linear-sum-assignment solved inside ``jit`` on fixed shapes.
+
+Behavioral spec: the reference matcher (``models/matcher.py:86-94``) moves the
+cost matrix to the CPU and calls ``scipy.optimize.linear_sum_assignment`` per
+batch element — a device sync in the middle of every forward pass.  Here the
+classic O(n^3) potentials + shortest-augmenting-path algorithm (Jonker-Volgenant
+/ "e-maxx" formulation) is expressed with ``lax`` loops over static shapes so
+the whole matcher stays on-device, jits, and vmaps over the batch.
+
+Rectangular problems (num_queries x num_gt with num_gt varying per sample) are
+handled by padding the column axis to a static width with a large constant
+cost and masking: every perfect matching places the padding columns somewhere
+at identical cost, so the restriction to real columns remains optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e18)
+
+
+def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve square LSAP. cost: (n, n) float32. Returns col_to_row: (n,) int32.
+
+    col_to_row[j] = row assigned to column j; minimizes sum cost[row, col].
+    """
+    n = cost.shape[0]
+    assert cost.shape == (n, n), "hungarian expects a square matrix; pad first"
+    cost = cost.astype(jnp.float32)
+
+    # 1-indexed arrays with a dummy 0 slot (classic formulation).
+    # p[j] = row (1..n) matched to column j (0 = unmatched), j in 0..n.
+    def outer_body(i, carry):
+        u, v, p = carry  # u: (n+1,), v: (n+1,), p: (n+1,) int32
+        i1 = i + 1  # current row, 1-indexed
+
+        p = p.at[0].set(i1)
+        minv = jnp.full((n + 1,), _INF)
+        used = jnp.zeros((n + 1,), dtype=bool)
+        way = jnp.zeros((n + 1,), dtype=jnp.int32)
+        j0 = jnp.int32(0)
+
+        def search_cond(state):
+            u, v, p, minv, used, way, j0 = state
+            return p[j0] != 0
+
+        def search_body(state):
+            u, v, p, minv, used, way, j0 = state
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            upd = (cur < minv[1:]) & (~used[1:])
+            minv = minv.at[1:].set(jnp.where(upd, cur, minv[1:]))
+            way = way.at[1:].set(jnp.where(upd, j0, way[1:]))
+            masked = jnp.where(used[1:], _INF, minv[1:])
+            j1 = jnp.argmin(masked).astype(jnp.int32) + 1
+            delta = masked[j1 - 1]
+            add_u = jnp.zeros((n + 1,)).at[p].add(jnp.where(used, delta, 0.0))
+            add_u = add_u.at[0].set(0.0)  # dummy row slot
+            u = u + add_u
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return (u, v, p, minv, used, way, j1)
+
+        u, v, p, minv, used, way, j0 = jax.lax.while_loop(
+            search_cond, search_body, (u, v, p, minv, used, way, j0)
+        )
+
+        # augmenting: walk `way` back to the dummy column
+        def aug_cond(state):
+            p, j0 = state
+            return j0 != 0
+
+        def aug_body(state):
+            p, j0 = state
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return (p, j1)
+
+        p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
+        return (u, v, p)
+
+    u0 = jnp.zeros((n + 1,))
+    v0 = jnp.zeros((n + 1,))
+    p0 = jnp.zeros((n + 1,), dtype=jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, n, outer_body, (u0, v0, p0))
+    return p[1:] - 1  # col j (0-indexed) -> row (0-indexed)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def batched_hungarian(cost: jnp.ndarray, col_valid: jnp.ndarray):
+    """Batched rectangular LSAP with column validity masking.
+
+    Args:
+      cost: (B, n_rows, n_cols) with n_cols <= n_rows (queries x padded GT).
+      col_valid: (B, n_cols) bool; invalid columns are excluded from matching.
+
+    Returns:
+      col_to_row: (B, n_cols) int32 — for each (valid) column, the matched row.
+        Entries for invalid columns are arbitrary; mask with col_valid.
+    """
+    B, n_rows, n_cols = cost.shape
+    assert n_cols <= n_rows
+    # Square-pad the column axis to n_rows. Invalid/padding columns get a
+    # constant cost so they absorb leftover rows without affecting real cols.
+    big = jnp.float32(1e6)
+    padded = jnp.full((B, n_rows, n_rows), big, dtype=jnp.float32)
+    real = jnp.where(col_valid[:, None, :], cost.astype(jnp.float32), big)
+    padded = padded.at[:, :, :n_cols].set(real)
+    col_to_row = jax.vmap(hungarian)(padded)  # (B, n_rows)
+    return col_to_row[:, :n_cols]

@@ -1,0 +1,177 @@
+"""Fused Pallas TPU kernel for 1-D multi-scale deformable attention.
+
+TPU-native equivalent of the reference CUDA op
+(``models/ops/src/cuda/ms_deform_im2col_cuda.cuh:239-301`` forward,
+``:303-923`` backward): instead of one CUDA thread per (batch, query, head,
+channel) walking levels x points with scalar bilinear taps, the computation is
+reformulated for the MXU — each (batch*head) program builds the combined
+interpolation x attention "splat" matrix (Q, S) in VMEM from the sampling
+locations and immediately contracts it with the value slab (S, Dh) on the
+systolic array.  The splat never touches HBM.
+
+The backward pass is expressed with the same splat algebra in plain XLA ops
+(see ``_bwd``): dValue = splat^T @ g and the location/weight grads are two-tap
+gathers of (g @ value^T).  The forward kernel is wrapped in jax.custom_vjp.
+
+grid_sample semantics match the jnp oracle in ``ms_deform_attn.py``
+(align_corners=False, border padding: coordinate clamped to [0, T-1]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ms_deform_attn import _level_splits, _splat_matrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _msda_fwd_kernel(loc_ref, aw_ref, value_ref, out_ref, splat_ref, *, shapes, s_pad):
+    """One program per (batch*head).
+
+    loc_ref/aw_ref: (1, Qp, L*P) f32; value_ref: (1, Sp, Dh); out: (1, Qp, Dh).
+    splat_ref: VMEM scratch (Qp, Sp) f32.
+    """
+    starts, _ = _level_splits(shapes)
+    L = len(shapes)
+    P = loc_ref.shape[-1] // L
+    Qp = loc_ref.shape[1]
+
+    splat_ref[:] = jnp.zeros_like(splat_ref)
+    loc = loc_ref[0]  # (Qp, L*P)
+    aw = aw_ref[0]
+
+    for l, (start, T) in enumerate(zip(starts, shapes)):
+        T = int(T)
+        toks = jax.lax.broadcasted_iota(jnp.int32, (Qp, T), 1)
+        acc = jnp.zeros((Qp, T), dtype=jnp.float32)
+        for p in range(P):
+            x = jnp.clip(loc[:, l * P + p] * T - 0.5, 0.0, T - 1.0)  # (Qp,)
+            x0 = jnp.floor(x)
+            w1 = x - x0
+            w0 = 1.0 - w1
+            i0 = x0.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, T - 1)
+            a = aw[:, l * P + p]
+            acc = acc + jnp.where(toks == i0[:, None], (w0 * a)[:, None], 0.0)
+            acc = acc + jnp.where(toks == i1[:, None], (w1 * a)[:, None], 0.0)
+        splat_ref[:, start : start + T] = acc
+
+    out_ref[0] = jax.lax.dot(
+        splat_ref[:].astype(value_ref.dtype),
+        value_ref[0],
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _fwd_pallas(value, temporal_shapes, loc, aw, interpret=False):
+    B, S, H, Dh = value.shape
+    _, Q, _, L, P = loc.shape
+    shapes = tuple(int(t) for t in temporal_shapes)
+
+    Qp = _round_up(max(Q, 8), 8)
+    Sp = _round_up(S, 128)
+    Dp = _round_up(Dh, 128)
+
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, Dh)  # (BH, S, Dh)
+    v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, Dp - Dh)))
+    l2 = loc.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, L * P).astype(jnp.float32)
+    a2 = aw.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, L * P).astype(jnp.float32)
+    l2 = jnp.pad(l2, ((0, 0), (0, Qp - Q), (0, 0)))
+    a2 = jnp.pad(a2, ((0, 0), (0, Qp - Q), (0, 0)))
+
+    kernel = functools.partial(_msda_fwd_kernel, shapes=shapes, s_pad=Sp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, Qp, Dp), value.dtype),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Qp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((Qp, Sp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Qp * Sp * Dp + 4 * B * H * Qp * L * P * (Sp // L),
+            bytes_accessed=B * H * (Sp * Dp * 4 + 2 * Qp * L * P * 4 + Qp * Dp * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(l2, a2, v)
+
+    out = out[:, :Q, :Dh].reshape(B, H, Q, Dh).transpose(0, 2, 1, 3)
+    return out.reshape(B, Q, H * Dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_pallas(value, temporal_shapes, loc, aw, interpret=False):
+    """Fused Pallas MSDA. Same contract as ``ms_deform_attn_core``."""
+    return _fwd_pallas(value, temporal_shapes, loc, aw, interpret)
+
+
+def _vjp_fwd(value, temporal_shapes, loc, aw, interpret=False):
+    out = _fwd_pallas(value, temporal_shapes, loc, aw, interpret)
+    return out, (value, loc, aw)
+
+
+def _vjp_bwd(temporal_shapes, interpret, res, g):
+    value, loc, aw = res
+    B, S, H, Dh = value.shape
+    _, Q, _, L, P = loc.shape
+    shapes = tuple(int(t) for t in temporal_shapes)
+    starts, _ = _level_splits(shapes)
+
+    g = g.reshape(B, Q, H, Dh).transpose(0, 2, 1, 3)  # (B, H, Q, Dh)
+    v = jnp.swapaxes(value, 1, 2)  # (B, H, S, Dh)
+
+    # dValue = splat^T @ g
+    splat = _splat_matrix(shapes, loc, aw, jnp.float32)  # (B, H, Q, S)
+    dv = jnp.einsum(
+        "bhqs,bhqd->bhsd", splat, g.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    dvalue = jnp.swapaxes(dv, 1, 2).astype(value.dtype)  # (B, S, H, Dh)
+
+    # dSplat = g @ value^T : (B, H, Q, S)
+    dsplat = jnp.einsum(
+        "bhqd,bhsd->bhqs", g.astype(jnp.float32), v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+    dloc = jnp.zeros_like(loc)
+    daw = jnp.zeros_like(aw)
+    for l, (start, T) in enumerate(zip(starts, shapes)):
+        T = int(T)
+        loc_l = loc[:, :, :, l, :].transpose(0, 2, 1, 3)  # (B, H, Q, P)
+        aw_l = aw[:, :, :, l, :].transpose(0, 2, 1, 3)
+        xr = loc_l * T - 0.5
+        x = jnp.clip(xr, 0.0, T - 1.0)
+        inside = (xr > 0.0) & (xr < T - 1.0)  # clamp kills the gradient
+        x0 = jnp.floor(x)
+        w1 = x - x0
+        w0 = 1.0 - w1
+        i0 = x0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, T - 1)
+        ds_l = jax.lax.dynamic_slice_in_dim(dsplat, start, T, axis=3)  # (B,H,Q,T)
+        g0 = jnp.take_along_axis(ds_l, i0, axis=3)  # (B, H, Q, P)
+        g1 = jnp.take_along_axis(ds_l, i1, axis=3)
+        daw_l = g0 * w0 + g1 * w1
+        dloc_l = jnp.where(inside, (g1 - g0) * aw_l * T, 0.0)
+        daw = daw.at[:, :, :, l, :].set(daw_l.transpose(0, 2, 1, 3).astype(aw.dtype))
+        dloc = dloc.at[:, :, :, l, :].set(dloc_l.transpose(0, 2, 1, 3).astype(loc.dtype))
+
+    return dvalue, dloc, daw
+
+
+ms_deform_attn_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,171 @@
+"""Typed configuration tree for the TPU DVC framework.
+
+Hyperparameter values follow the reference's shipped training config
+(``config/config_dvc_train.py``); the structure is reorganized:
+one ``ConfigDict`` with a mode switch selectable from the CLI instead of a
+hardcoded ``is_train`` boolean (reference config/config_dvc.py:11).
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def load_config_train() -> ml_collections.ConfigDict:
+    cfg = ml_collections.ConfigDict()
+
+    # -- general -------------------------------------------------------------
+    cfg.seed = 0
+    cfg.batch_size = 16
+    cfg.num_workers = 1
+    cfg.print_freq = 10
+
+    cfg.lr = 1e-4
+    cfg.lr_drop = 40          # StepLR: lr *= 0.1 every lr_drop epochs
+    cfg.weight_decay = 1e-4
+    cfg.clip_max_norm = 0.1
+
+    cfg.checkpoint_rate = 10
+    cfg.eval_rate = 10
+    cfg.model_mode = "training"  # training | validation | testing
+    cfg.epochs = 200
+    cfg.start_epoch = 0
+    cfg.resume = ""
+
+    cfg.output_dir = "output"
+    cfg.submission_dir = "output/submission"
+    cfg.save_submission = True
+
+    cfg.use_raw_videos = False
+    cfg.use_differentiable_mask = True
+
+    # numerics: bf16 compute with f32 params/activations where it matters
+    cfg.compute_dtype = "float32"
+    cfg.msda_backend = ""  # '' = auto (matmul on TPU, gather on CPU)
+
+    # -- mesh / parallelism ----------------------------------------------------
+    cfg.mesh = ml_collections.ConfigDict()
+    cfg.mesh.data_axis = "data"
+    cfg.mesh.model_axis = "model"
+    cfg.mesh.num_data = -1   # -1 = all devices on the data axis
+    cfg.mesh.num_model = 1
+
+    # -- dataset ---------------------------------------------------------------
+    cfg.dataset = ml_collections.ConfigDict()
+    anet = cfg.dataset.activity_net = ml_collections.ConfigDict()
+    anet.anet_path = "./anet_data"
+    anet.video_features_file = ""      # h5 file of (num_tokens, feature_dim)
+    anet.invalid_videos_json = ""
+    anet.for_testing = False
+    anet.num_samples = 6
+    anet.vocab_file_path = "./vocab.pkl"
+    anet.min_freq = 2
+    anet.max_caption_len_all = 20
+    anet.video_rescale_len = 300
+    anet.audio_rescale_len = 50
+    anet.num_mel_bins = 128
+    anet.audio_target_length = 64
+    anet.max_gt_target_segments = 10
+    anet.num_classes = 200
+    anet.raw_video_folder = ""
+
+    # -- DVC model ---------------------------------------------------------------
+    dvc = cfg.dvc = ml_collections.ConfigDict()
+    dvc.input_modalities = ["video"]
+    dvc.num_queries = 20
+    dvc.d_model = 512
+    dvc.aux_loss = True
+    dvc.num_classes = 200
+    dvc.threshold = 0.5
+    dvc.max_eseq_length = 10
+    dvc.lloss_gau_mask = 1
+    dvc.lloss_beta = 1.0
+
+    dvc.use_sparse_detr = True
+    dvc.use_deformable_detr = False
+
+    dvc.smoothing = 0.5  # caption label smoothing epsilon
+
+    dvc.cls_loss_coef = 1.0
+    dvc.counter_loss_coef = 2.0
+    dvc.bbox_loss_coef = 5.0
+    dvc.giou_loss_coef = 2.0
+    dvc.self_iou_loss_coef = 2.0
+    dvc.caption_loss_coef = 1.0
+    dvc.context_loss_coef = 3.0
+    dvc.mask_prediction_coef = 2.0
+    dvc.corr_coef = 2.0
+    dvc.eos_coef = 0.1
+
+    dvc.losses = ["labels", "segments", "captions"]
+
+    # matcher
+    m = dvc.matcher = ml_collections.ConfigDict()
+    m.cost_class = 1.0
+    m.cost_segment = 5.0
+    m.cost_giou = 2.0
+    m.cost_alpha = 0.25
+    m.cost_gamma = 2.0
+
+    # proposal transformer (shared by deformable + sparse families)
+    det = dvc.detr = ml_collections.ConfigDict()
+    det.feature_dim = dvc.d_model
+    det.d_model = dvc.d_model
+    det.num_heads = 8
+    det.num_feature_levels = 4
+    det.dec_n_points = 4
+    det.enc_n_points = 4
+    det.enc_layers = 6
+    det.dec_layers = 6
+    det.transformer_dropout_prob = 0.1
+    det.transformer_ff_dim = 2048
+    det.video_rescale_len = anet.video_rescale_len
+    det.return_intermediate = True
+    # sparse-DETR extras (ignored by the dense family)
+    det.rho = 0.5
+    det.use_enc_aux_loss = True
+
+    # caption decoder
+    cap = dvc.caption = ml_collections.ConfigDict()
+    cap.d_model = dvc.d_model
+    cap.depth = 6
+    cap.num_heads = 8
+    cap.mlp_ratio = 4
+    cap.qkv_bias = True
+    cap.positional_embedding_dropout = 0.1
+    cap.attention_dropout = 0.1
+    cap.projection_dropout = 0.1
+    cap.bridge_dropout = 0.1
+    cap.mlp_dropout_1 = 0.1
+    cap.mlp_dropout_2 = 0.1
+    cap.pre_norm = False
+    cap.emb_weights_req_grad = True
+    cap.return_intermediate = True
+    cap.pretrained_word_embed_dim = 300
+    cap.glove_file_path = ""
+    cap.embedding_matrix_file_path = "embedding_matrix.pkl"
+
+    # eval
+    ev = cfg.eval = ml_collections.ConfigDict()
+    ev.tious = [0.3, 0.5, 0.7, 0.9]
+    ev.max_proposals_per_video = 100
+    ev.distances = []
+    ev.verbose = False
+
+    # wandb-style run metadata (logging only)
+    cfg.wandb = ml_collections.ConfigDict()
+    cfg.wandb.on = False
+    cfg.wandb.project = "mfl-tpu"
+
+    return cfg
+
+
+def load_config_test() -> ml_collections.ConfigDict:
+    cfg = load_config_train()
+    cfg.model_mode = "validation"
+    cfg.dataset.activity_net.for_testing = True
+    return cfg
+
+
+def load_config(mode: str = "train") -> ml_collections.ConfigDict:
+    return load_config_train() if mode == "train" else load_config_test()

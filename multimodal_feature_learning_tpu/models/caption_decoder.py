@@ -1,0 +1,199 @@
+"""Per-event autoregressive caption decoder.
+
+Behavioral spec: reference ``models/unimodal_caption_decoder.py:19-144``
+(token embed -> sinusoidal PE -> depth x post-norm decoder layers -> Linear
+head -> softmax, per-layer intermediates stacked) and the greedy eval loop in
+``models/sparse/unimodal_sparse_dvc.py:303-355`` (argmax per step, per-caption
+freeze after <eos>, final <eos>/<pad> append).
+
+TPU-native deltas:
+  * ``__call__`` returns LOG-probabilities (log_softmax) rather than the
+    reference's softmax-then-log — numerically identical in exact arithmetic,
+    strictly more stable; the criterion consumes log-probs directly.
+  * greedy decode is a ``lax.scan`` with true per-layer KV caches instead of
+    the reference's full decoder re-run per word: the memory cross-attn k/v are
+    projected once and each step touches exactly one position.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .embeddings import VocabularyEmbedder, caption_positional_encoding
+from .layers import UnimodalCaptionDecoderLayer
+
+
+def make_causal_mask(seq_len: int) -> jnp.ndarray:
+    """(seq_len, seq_len) True above the diagonal (masked); reference
+    unimodal_sparse_dvc.py:410-426."""
+    return ~jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
+
+
+class UnimodalCaptionDecoder(nn.Module):
+    vocab_size: int
+    seq_len: int = 20
+    d_model: int = 512
+    depth: int = 6
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    positional_embedding_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    projection_dropout: float = 0.0
+    mlp_dropout_1: float = 0.0
+    mlp_dropout_2: float = 0.0
+    pre_norm: bool = False
+    return_intermediate: bool = True
+    pretrained_matrix: Optional[np.ndarray] = None
+
+    def setup(self):
+        self.target_embedding = VocabularyEmbedder(
+            self.vocab_size, self.d_model, self.pretrained_matrix
+        )
+        self.pos_table = caption_positional_encoding(self.d_model)
+        self.pos_dropout = nn.Dropout(self.positional_embedding_dropout)
+        self.decoder = [
+            UnimodalCaptionDecoderLayer(
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                attention_dropout=self.attention_dropout,
+                projection_dropout=self.projection_dropout,
+                mlp_dropout_1=self.mlp_dropout_1,
+                mlp_dropout_2=self.mlp_dropout_2,
+                pre_norm=self.pre_norm,
+            )
+            for _ in range(self.depth)
+        ]
+        self.head = nn.Dense(self.vocab_size)
+
+    def embed(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(N, Tc) int tokens -> (N, Tc, D) with sinusoidal PE."""
+        x = self.target_embedding(tokens)
+        x = x + self.pos_table[:, : x.shape[1], :]
+        return self.pos_dropout(x, deterministic=deterministic)
+
+    def embed_at(self, tokens: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+        """(N,) tokens at dynamic position pos -> (N, 1, D)."""
+        x = self.target_embedding(tokens[:, None])
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, pos, 1, axis=1)
+        return x + pe
+
+    def __call__(
+        self,
+        tgt: jnp.ndarray,            # (N, Tc) token ids
+        memory: jnp.ndarray,         # (N, S, D)
+        tgt_mask=None,               # (Tc, Tc) True=masked (causal)
+        tgt_padding_mask=None,       # (N, Tc) True=pad
+        memory_padding_mask=None,    # (N, S) True=pad
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced pass -> (depth, N, Tc, vocab) log-probabilities."""
+        x = self.embed(tgt, deterministic)
+        if tgt_mask is not None and tgt_mask.ndim == 2:
+            tgt_mask = tgt_mask[None, None]  # (1, 1, Tc, Tc)
+        intermediate = []
+        for layer in self.decoder:
+            x = layer(
+                x, memory, tgt_mask, tgt_padding_mask, memory_padding_mask,
+                deterministic=deterministic,
+            )
+            if self.return_intermediate:
+                intermediate.append(x)
+        stacked = jnp.stack(intermediate) if self.return_intermediate else x[None]
+        return nn.log_softmax(self.head(stacked), axis=-1)
+
+    # -- incremental decode pieces -------------------------------------------
+
+    def precompute_memory_kv(self, memory: jnp.ndarray):
+        """Per-layer cross-attn (k, v) of the memory; computed once per decode."""
+        return [layer.project_memory_kv(memory) for layer in self.decoder]
+
+    def decode_step(
+        self,
+        tokens: jnp.ndarray,      # (N,) token at position `step`
+        step: jnp.ndarray,        # scalar position index
+        valid_len: jnp.ndarray,   # attendable prefix length
+        k_caches: jnp.ndarray,    # (depth, N, Tc, D)
+        v_caches: jnp.ndarray,    # (depth, N, Tc, D)
+        mem_kv,                   # list of (k, v) from precompute_memory_kv
+        memory_padding_mask,      # (N, S)
+        write_self: bool,
+    ):
+        """Run one position through all layers. Returns (logits, k_caches, v_caches)."""
+        x = self.embed_at(tokens, step)
+        new_k, new_v = [], []
+        for li, layer in enumerate(self.decoder):
+            mk, mv = mem_kv[li]
+            x, kc, vc = layer.incremental(
+                x, step, k_caches[li], v_caches[li], valid_len,
+                mk, mv, memory_padding_mask, write_self,
+            )
+            new_k.append(kc)
+            new_v.append(vc)
+        logits = self.head(x[:, 0, :])  # (N, vocab); argmax == argmax(softmax)
+        return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+
+def greedy_decode(
+    module: UnimodalCaptionDecoder,
+    params,
+    memory: jnp.ndarray,          # (N, S, D)
+    memory_padding_mask,          # (N, S) True=pad
+    seq_len: int,
+    bos_idx: int,
+    eos_idx: int,
+    pad_idx: int,
+):
+    """KV-cached greedy decode; semantics of the reference eval loop
+    (unimodal_sparse_dvc.py:303-355, faster_eval=False): argmax per step,
+    captions frozen after <eos>, then one trailing <pad>/<eos> appended.
+
+    Returns (N, seq_len + 1) int32 captions including the trailing token.
+    """
+    N, S, D = memory.shape
+    depth = module.depth
+
+    mem_kv = module.apply(params, memory, method=UnimodalCaptionDecoder.precompute_memory_kv)
+
+    captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32)
+    captions = captions.at[:, 0].set(bos_idx)
+    done = jnp.zeros((N,), dtype=bool)
+    k_caches = jnp.zeros((depth, N, seq_len, D), dtype=memory.dtype)
+    v_caches = jnp.zeros((depth, N, seq_len, D), dtype=memory.dtype)
+
+    def step_fn(carry, t):
+        captions, done, k_caches, v_caches = carry
+        # commit token at t-1 (writes its k/v; attends prefix incl. itself)
+        prev_tok = jnp.take_along_axis(captions, (t - 1)[None, None].repeat(N, 0), axis=1)[:, 0]
+        _, k_caches, v_caches = module.apply(
+            params, prev_tok, t - 1, t, k_caches, v_caches, mem_kv,
+            memory_padding_mask, True,
+            method=UnimodalCaptionDecoder.decode_step,
+        )
+        # predict token at t (pad query; attends prefix 0..t-1 only)
+        pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
+        logits, _, _ = module.apply(
+            params, pad_tok, t, t, k_caches, v_caches, mem_kv,
+            memory_padding_mask, False,
+            method=UnimodalCaptionDecoder.decode_step,
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, pad_idx, tok)
+        captions = captions.at[:, t].set(tok)
+        done = done | (tok == eos_idx)
+        return (captions, done, k_caches, v_caches), None
+
+    (captions, done, _, _), _ = jax.lax.scan(
+        step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    )
+
+    has_eos = jnp.any(captions == eos_idx, axis=1)
+    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    return jnp.concatenate([captions, last[:, None]], axis=1)

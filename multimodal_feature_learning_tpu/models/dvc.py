@@ -1,0 +1,457 @@
+"""UnimodalDVC: the full dense-video-captioning pipeline, jit-end-to-end.
+
+Behavioral spec: reference ``models/sparse/unimodal_sparse_dvc.py:111-391``
+(and the dense variant ``models/deformable/unimodal_deformable_dvc.py``):
+base encoder -> (sparse) deformable transformer -> segment/count heads with
+reference-point offsetting -> Hungarian matching -> per-event memory crop ->
+caption decoding (teacher forcing in training; greedy at eval).
+
+Architecture: a functional orchestrator over three flax modules
+(``ProposalNet``, ``UnimodalCaptionDecoder``, ``ContextMaskModel``) rather
+than one god-module — matching, cropping, and greedy decoding are pure
+functions between the applies, and the whole train/eval step jits as one XLA
+program (the reference syncs to CPU for scipy matching mid-forward).
+
+Static-shape contract (TPU-first): every video contributes exactly
+``max_gt`` caption slots gated by ``gt_mask`` — the reference's dynamic
+``total_caption_num`` becomes the fixed N = B * max_gt with validity masks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.segment_ops import denormalize_segments, inverse_sigmoid
+from .base_encoder import BaseEncoder, pyramid_shapes
+from .caption_decoder import UnimodalCaptionDecoder, greedy_decode, make_causal_mask
+from .layers import ContextMaskModel, FFN
+from .matcher import hungarian_match
+from .transformer import SparseDeformableTransformer, predict_event_num
+
+
+def level_windows(video_rescale_len: int, num_levels: int):
+    """Static per-level [lower, upper) windows in the flattened token axis.
+    Reference crop_segments (unimodal_sparse_dvc.py:504-507), including its
+    formula quirks (the level-3 upper bound is floor(vrl*15/8), one short of
+    the true level end)."""
+    wins = []
+    for n in range(num_levels):
+        lower = math.floor(video_rescale_len * ((2**n - 1) / 2 ** (n - 1)))
+        upper = math.floor(video_rescale_len * ((2 ** (n + 1) - 1) / 2**n))
+        wins.append((lower, upper))
+    return wins
+
+
+def crop_segments(
+    memory: jnp.ndarray,        # (B, S, D)
+    denorm_segments: jnp.ndarray,  # (B, G, 2) seconds
+    durations: jnp.ndarray,     # (B,)
+    video_rescale_len: int,
+    num_levels: int,
+):
+    """Per-event memory crop: zero features outside the event's token window
+    at every pyramid level. Vectorized port of the reference's python double
+    loop (unimodal_sparse_dvc.py:480-516).
+
+    Returns (cropped (B, G, S, D), pad_mask (B, G, S) True=outside)."""
+    B, S, D = memory.shape
+    G = denorm_segments.shape[1]
+    dur = durations[:, None]  # (B, 1)
+    toks = jnp.arange(S)[None, None]  # (1, 1, S)
+
+    inside = jnp.zeros((B, G, S), dtype=bool)
+    for lower, upper in level_windows(video_rescale_len, num_levels):
+        diff = upper - lower
+        start = jnp.clip(
+            jnp.round(lower + diff * denorm_segments[..., 0] / dur),
+            lower, upper - 1,
+        ).astype(jnp.int32)  # (B, G)
+        end = jnp.clip(
+            jnp.round(lower + diff * denorm_segments[..., 1] / dur),
+            lower, upper - 1,
+        ).astype(jnp.int32)
+        inside = inside | ((toks >= start[..., None]) & (toks < end[..., None]))
+
+    cropped = jnp.where(inside[..., None], memory[:, None], 0.0)
+    return cropped, ~inside
+
+
+class ProposalNet(nn.Module):
+    """Base encoder + (sparse) deformable transformer + segment/count heads."""
+
+    d_model: int = 512
+    num_queries: int = 20
+    num_feature_levels: int = 4
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ff_dim: int = 2048
+    dropout: float = 0.1
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    rho: float = 0.5
+    use_enc_aux_loss: bool = True
+    max_eseq_length: int = 10
+    video_rescale_len: int = 300
+    msda_backend: str = ""
+
+    def setup(self):
+        self.base_encoder = BaseEncoder(self.num_feature_levels, self.d_model)
+        self.transformer = SparseDeformableTransformer(
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            num_encoder_layers=self.enc_layers,
+            num_decoder_layers=self.dec_layers,
+            dim_feedforward=self.ff_dim,
+            dropout=self.dropout,
+            num_feature_levels=self.num_feature_levels,
+            dec_n_points=self.dec_n_points,
+            enc_n_points=self.enc_n_points,
+            rho=self.rho,
+            use_enc_aux_loss=self.use_enc_aux_loss,
+            msda_backend=self.msda_backend,
+        )
+        self.query_embedding = self.param(
+            "query_embedding",
+            nn.initializers.normal(1.0),
+            (self.num_queries, self.d_model * 2),
+        )
+        self.segment_embedding_encoder = FFN(self.d_model, 2, 3, final_zero_init=True)
+        self.segment_embedding_decoder = FFN(self.d_model, 2, 3, final_zero_init=True)
+        self.count_head_encoder = nn.Dense(self.max_eseq_length + 1)
+        self.count_head_decoder = nn.Dense(self.max_eseq_length + 1)
+
+    def __call__(self, video, video_mask, durations, deterministic: bool = True):
+        """
+        Args:
+          video: (B, T, feature_dim); video_mask: (B, T) True=pad;
+          durations: (B,) seconds.
+
+        Returns an ``out`` dict (pred_segments, pred_count, aux stacks,
+        memory, query_features, sparse bookkeeping) — everything the matcher,
+        crop, caption decoder and criterion need.
+        """
+        B = video.shape[0]
+        srcs, masks, poses = self.base_encoder(video, video_mask, durations)
+        enc_inputs = self.transformer.prepare_encoder_inputs(srcs, masks, poses)
+        temporal_shapes = enc_inputs["temporal_shapes"]
+
+        (memory, loc_enc, attn_enc, enc_inter_feats, enc_inter_bases) = (
+            self.transformer.forward_encoder(enc_inputs, deterministic)
+        )
+
+        init_ref, tgt, reference_points, query_pos = (
+            self.transformer.prepare_decoder_input_query(B, self.query_embedding)
+        )
+        query_features, inter_references, loc_dec, attn_dec = (
+            self.transformer.forward_decoder(
+                tgt, reference_points, memory, temporal_shapes,
+                enc_inputs["valid_ratios"], query_pos,
+                enc_inputs["mask_flatten"], None, False, deterministic,
+            )
+        )  # (layers, B, Q, D), (layers, B, Q, 1)
+
+        outputs_segment = self.segment_embedding_decoder(query_features)  # (layers,B,Q,2)
+        outputs_count = predict_event_num(self.count_head_decoder, query_features)
+
+        # reference-point offsetting (unimodal_sparse_dvc.py:193-205):
+        # ref[0] = init, ref[i] = inter[i-1]; with refinement off all equal.
+        reference = jnp.concatenate([init_ref[None], inter_references[:-1]], axis=0)
+        reference = inverse_sigmoid(reference)  # (layers, B, Q, 1)
+        outputs_segment = outputs_segment + reference  # broadcasts over (c, l)
+        outputs_segment = nn.sigmoid(outputs_segment)
+
+        out = {
+            "pred_segments": outputs_segment[-1],
+            "pred_count": outputs_count[-1],
+            "sampling_locations_enc": loc_enc,
+            "attn_weights_enc": attn_enc,
+            "sampling_locations_dec": loc_dec,
+            "attn_weights_dec": attn_dec,
+            "temporal_shapes": temporal_shapes,
+            "level_start_index": tuple(
+                int(x) for x in np.cumsum((0,) + temporal_shapes[:-1])
+            ),
+            "memory": memory,
+            "query_features": query_features,
+            "mask_flatten": enc_inputs["mask_flatten"],
+            "outputs_segment_all": outputs_segment,   # (layers, B, Q, 2)
+            "outputs_count_all": outputs_count,        # (layers, B, C)
+        }
+        if enc_inputs["backbone_topk_proposals"] is not None:
+            out["backbone_topk_proposals"] = enc_inputs["backbone_topk_proposals"]
+        if self.rho:
+            out["backbone_mask_prediction"] = enc_inputs["backbone_mask_prediction"]
+            out["sparse_token_nums"] = enc_inputs["sparse_token_nums"]
+
+        if self.use_enc_aux_loss and enc_inter_feats is not None:
+            counts = predict_event_num(self.count_head_encoder, enc_inter_feats)
+            offsets = self.segment_embedding_encoder(enc_inter_feats)
+            coords = nn.sigmoid(enc_inter_bases[None] + offsets)  # (layers-1,B,K,2)
+            out["aux_outputs_enc"] = [
+                {"pred_segments": coords[i], "pred_count": counts[i]}
+                for i in range(coords.shape[0])
+            ]
+        return out
+
+
+class UnimodalDVC:
+    """Functional orchestrator: proposal net + matcher + crop + captions.
+
+    Holds flax modules and exposes pure ``init`` / ``forward_train`` /
+    ``forward_eval`` functions over a params pytree
+    {'proposal', 'caption', 'context_mask'?}.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        vocab_size: int,
+        pad_idx: int,
+        bos_idx: int,
+        eos_idx: int,
+        embedding_matrix: Optional[np.ndarray] = None,
+    ):
+        dvc = cfg.dvc
+        det = dvc.detr
+        anet = cfg.dataset.activity_net
+        self.cfg = cfg
+        self.pad_idx, self.bos_idx, self.eos_idx = pad_idx, bos_idx, eos_idx
+        self.num_queries = dvc.num_queries
+        self.max_gt = anet.max_gt_target_segments
+        self.seq_len = anet.max_caption_len_all
+        self.video_rescale_len = det.video_rescale_len
+        self.num_feature_levels = det.num_feature_levels
+        self.aux_loss = dvc.aux_loss
+        self.use_differentiable_mask = cfg.use_differentiable_mask
+        self.cost_segment = float(dvc.matcher.cost_segment)
+        self.cost_giou = float(dvc.matcher.cost_giou)
+
+        self.temporal_shapes = pyramid_shapes(
+            det.video_rescale_len, det.num_feature_levels
+        )
+        self.num_tokens = int(sum(self.temporal_shapes))
+
+        self.proposal_net = ProposalNet(
+            d_model=dvc.d_model,
+            num_queries=dvc.num_queries,
+            num_feature_levels=det.num_feature_levels,
+            num_heads=det.num_heads,
+            enc_layers=det.enc_layers,
+            dec_layers=det.dec_layers,
+            ff_dim=det.transformer_ff_dim,
+            dropout=det.transformer_dropout_prob,
+            enc_n_points=det.enc_n_points,
+            dec_n_points=det.dec_n_points,
+            rho=det.rho if dvc.use_sparse_detr else 0.0,
+            use_enc_aux_loss=det.use_enc_aux_loss and dvc.use_sparse_detr,
+            max_eseq_length=dvc.max_eseq_length,
+            video_rescale_len=det.video_rescale_len,
+            msda_backend=cfg.msda_backend,
+        )
+        cap = dvc.caption
+        self.caption_decoder = UnimodalCaptionDecoder(
+            vocab_size=vocab_size,
+            seq_len=self.seq_len,
+            d_model=cap.d_model,
+            depth=cap.depth,
+            num_heads=cap.num_heads,
+            mlp_ratio=float(cap.mlp_ratio),
+            qkv_bias=cap.qkv_bias,
+            positional_embedding_dropout=cap.positional_embedding_dropout,
+            attention_dropout=cap.attention_dropout,
+            projection_dropout=cap.projection_dropout,
+            mlp_dropout_1=cap.mlp_dropout_1,
+            mlp_dropout_2=cap.mlp_dropout_2,
+            pre_norm=cap.pre_norm,
+            return_intermediate=cap.return_intermediate,
+            pretrained_matrix=embedding_matrix,
+        )
+        if self.use_differentiable_mask:
+            self.context_mask_model = ContextMaskModel(self.num_tokens)
+
+    # -- init -------------------------------------------------------------------
+
+    def init(self, rng, batch) -> Dict:
+        r1, r2, r3 = jax.random.split(rng, 3)
+        params = {}
+        params["proposal"] = self.proposal_net.init(
+            r1, batch["video_tensor"], batch["video_mask"], batch["durations"]
+        )
+        B = batch["video_tensor"].shape[0]
+        N = B * self.max_gt
+        dummy_tokens = jnp.zeros((N, self.seq_len - 1), dtype=jnp.int32)
+        dummy_memory = jnp.zeros(
+            (N, self.num_tokens, self.cfg.dvc.d_model), dtype=jnp.float32
+        )
+        params["caption"] = self.caption_decoder.init(r2, dummy_tokens, dummy_memory)
+        if self.use_differentiable_mask:
+            dummy_in = jnp.zeros((N, 2 + self.cfg.dvc.d_model))
+            params["context_mask"] = self.context_mask_model.init(r3, dummy_in)
+        return params
+
+    # -- shared trunk -------------------------------------------------------------
+
+    def _propose_and_match(self, params, batch, deterministic, rngs=None):
+        out = self.proposal_net.apply(
+            params["proposal"],
+            batch["video_tensor"], batch["video_mask"], batch["durations"],
+            deterministic,
+            rngs=rngs,
+        )
+        gt_segments = batch["gt_segments"]  # (B, G, 2)
+        gt_mask = batch["gt_mask"]          # (B, G)
+        indices = hungarian_match(
+            out["pred_segments"], gt_segments, gt_mask,
+            self.cost_segment, self.cost_giou,
+        )  # (B, G)
+
+        indices_aux = None
+        if self.aux_loss:
+            aux_seg = out["outputs_segment_all"][:-1]  # (layers-1, B, Q, 2)
+            Lm1, B = aux_seg.shape[0], aux_seg.shape[1]
+            flat = aux_seg.reshape(Lm1 * B, self.num_queries, 2)
+            gt_rep = jnp.tile(gt_segments, (Lm1, 1, 1))
+            mask_rep = jnp.tile(gt_mask, (Lm1, 1))
+            indices_aux = hungarian_match(
+                flat, gt_rep, mask_rep, self.cost_segment, self.cost_giou
+            ).reshape(Lm1, B, self.max_gt)
+        return out, indices, indices_aux
+
+    def _prepare_caption_inputs(self, params, out, batch, indices):
+        """Crop per-event memory + optional differentiable context mask.
+
+        Returns (memory_crop (N,S,D), crop_pad_mask (N,S),
+                 caption_pad_mask (N,S) actually used by cross-attn,
+                 pred_memory_mask logits (N,S) or None)."""
+        B, G = indices.shape
+        rows = jnp.arange(B)[:, None]
+        matched_segments = out["pred_segments"][rows, indices]  # (B, G, 2)
+        denorm = denormalize_segments(
+            matched_segments, batch["durations"][:, None]
+        )  # (B, G, 2) seconds
+
+        memory_crop, crop_mask = crop_segments(
+            out["memory"], denorm, batch["durations"],
+            self.video_rescale_len, self.num_feature_levels,
+        )
+        N = B * G
+        S = memory_crop.shape[2]
+        memory_crop = memory_crop.reshape(N, S, -1)
+        crop_mask = crop_mask.reshape(N, S)
+
+        pred_memory_mask = None
+        caption_pad_mask = crop_mask
+        if self.use_differentiable_mask:
+            qf = out["query_features"][-1]  # (B, Q, D)
+            qf_sel = qf[rows, indices].reshape(N, -1)  # (N, D)
+            cm_in = jnp.concatenate([denorm.reshape(N, 2), qf_sel], axis=1)
+            pred_memory_mask = self.context_mask_model.apply(
+                params["context_mask"], cm_in
+            )  # (N, S) logits
+            # confidence gating is identity in the reference (:258-260)
+            caption_pad_mask = nn.sigmoid(pred_memory_mask) > 0.5
+        return memory_crop, crop_mask, caption_pad_mask, pred_memory_mask
+
+    # -- public forwards -----------------------------------------------------------
+
+    def forward_train(self, params, batch, dropout_rng) -> Tuple[Dict, jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Returns (out, indices, indices_aux, memory_mask_float) mirroring the
+        reference forward's return contract (minus the argmaxed captions)."""
+        rngs = {"dropout": dropout_rng}
+        out, indices, indices_aux = self._propose_and_match(
+            params, batch, deterministic=False, rngs=rngs
+        )
+        memory_crop, crop_mask, caption_pad_mask, pred_memory_mask = (
+            self._prepare_caption_inputs(params, out, batch, indices)
+        )
+        if pred_memory_mask is not None:
+            out["pred_memory_mask"] = pred_memory_mask
+
+        cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)  # (N, Lc)
+        tgt = cap_tokens[:, :-1]
+        tgt_padding_mask = tgt == self.pad_idx
+        tgt_mask = make_causal_mask(self.seq_len - 1)
+        outputs_caption = self.caption_decoder.apply(
+            params["caption"], tgt, memory_crop,
+            tgt_mask, tgt_padding_mask, caption_pad_mask,
+            deterministic=False, rngs=rngs,
+        )  # (depth, N, Lc-1, V) log-probs
+        out["pred_captions"] = outputs_caption[-1]
+        if self.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_segments": out["outputs_segment_all"][i],
+                    "pred_count": out["outputs_count_all"][i],
+                }
+                for i in range(out["outputs_segment_all"].shape[0] - 1)
+            ]
+            out["aux_outputs_caption"] = [
+                {"pred_captions": outputs_caption[i]}
+                for i in range(outputs_caption.shape[0] - 1)
+            ]
+        memory_mask_float = crop_mask.astype(jnp.float32)
+        return out, indices, indices_aux, memory_mask_float
+
+    def forward_eval(self, params, batch, val_mode: str = "one_by_one"):
+        """Returns (out, captions_with_eos (N, Lc[+1]), indices, indices_aux,
+        memory_mask_float)."""
+        out, indices, indices_aux = self._propose_and_match(
+            params, batch, deterministic=True
+        )
+        memory_crop, crop_mask, caption_pad_mask, pred_memory_mask = (
+            self._prepare_caption_inputs(params, out, batch, indices)
+        )
+        if pred_memory_mask is not None:
+            out["pred_memory_mask"] = pred_memory_mask
+
+        if val_mode == "one_by_one":
+            captions_with_eos = greedy_decode(
+                self.caption_decoder, params["caption"],
+                memory_crop, caption_pad_mask,
+                self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+            )
+            # losses still need teacher-forced predictions (engine.py:219)
+            cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
+            tgt = cap_tokens[:, :-1]
+            outputs_caption = self.caption_decoder.apply(
+                params["caption"], tgt, memory_crop,
+                make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
+                caption_pad_mask,
+            )
+        elif val_mode == "teacher_forcing":
+            cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
+            tgt = cap_tokens[:, :-1]
+            outputs_caption = self.caption_decoder.apply(
+                params["caption"], tgt, memory_crop,
+                make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
+                caption_pad_mask,
+            )
+            captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)
+        else:
+            raise ValueError(f"bad val_mode {val_mode!r}")
+
+        out["pred_captions"] = outputs_caption[-1]
+        if self.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_segments": out["outputs_segment_all"][i],
+                    "pred_count": out["outputs_count_all"][i],
+                }
+                for i in range(out["outputs_segment_all"].shape[0] - 1)
+            ]
+            out["aux_outputs_caption"] = [
+                {"pred_captions": outputs_caption[i]}
+                for i in range(outputs_caption.shape[0] - 1)
+            ]
+        return out, captions_with_eos, indices, indices_aux, crop_mask.astype(jnp.float32)
+
+
+def build_model(cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3, embedding_matrix=None):
+    return UnimodalDVC(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)

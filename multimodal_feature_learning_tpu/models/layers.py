@@ -113,18 +113,26 @@ class MLP(nn.Module):
 
 
 class FFN(nn.Module):
-    """n-layer ReLU feed-forward head; reference layers.py:871-906."""
+    """n-layer ReLU feed-forward head; reference layers.py:871-906.
+
+    ``final_zero_init`` reproduces the segment-head initialization of the
+    reference (unimodal_sparse_dvc.py:75-79: last layer weight+bias zeroed)."""
 
     hidden_dim: int
     out_dim: int
     num_layers: int
+    final_zero_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
-            out = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, name=f"layers_{i}")(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            out = self.out_dim if last else self.hidden_dim
+            kwargs = {}
+            if last and self.final_zero_init:
+                kwargs["kernel_init"] = nn.initializers.zeros
+            x = nn.Dense(out, name=f"layers_{i}", **kwargs)(x)
+            if not last:
                 x = nn.relu(x)
         return x
 

@@ -53,6 +53,22 @@ def generalized_box_iou(segment1: jnp.ndarray, segment2: jnp.ndarray) -> jnp.nda
     return iou - (area - union) / (area + 1e-5)
 
 
+def denormalize_segments(
+    segments: jnp.ndarray, durations: jnp.ndarray
+) -> jnp.ndarray:
+    """(center, length) normalized -> (start, end) seconds, clamped to [0, dur]
+    and order-fixed.  Vectorized port of reference
+    utils/preds_postprocess.py:54-80 (which loops per proposal on the host).
+
+    segments: (..., 2); durations broadcastable to segments[..., 0].
+    """
+    c, l = segments[..., 0], segments[..., 1]
+    d = durations
+    start = jnp.clip(d / 2 * (2 * c - l), 0.0, d)
+    end = jnp.clip(d / 2 * (2 * c + l), 0.0, d)
+    return jnp.stack([jnp.minimum(start, end), jnp.maximum(start, end)], axis=-1)
+
+
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """logit with clamping; matches reference models/modules/misc_modules.py:29-33."""
     x = jnp.clip(x, 0.0, 1.0)

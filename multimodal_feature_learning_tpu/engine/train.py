@@ -1,0 +1,88 @@
+"""Training loop: jitted train step + epoch driver.
+
+Behavioral spec: reference ``engine.py:26-155`` — forward, weighted loss sum,
+NaN guard, grad clip, optimizer step, windowed metric logging.  The whole
+step (forward incl. Hungarian matching, losses, backward, update) is ONE
+jitted XLA program over the mesh-sharded global batch; the loss dict that the
+reference all_reduces for logging comes out already globally reduced.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.loader import split_batch
+from ..parallel.mesh import shard_batch
+from .logging import MetricLogger, SmoothedValue
+from .state import TrainState
+
+
+def make_train_step(model, criterion, weight_dict: Dict[str, float], tx):
+    """Returns jitted (state, batch_arrays, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch, rng):
+        out, indices, indices_aux, memory_mask = model.forward_train(params, batch, rng)
+        losses = criterion(out, batch, indices, indices_aux, memory_mask)
+        total = sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)
+        return total, losses
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def train_one_epoch(
+    model,
+    criterion,
+    weight_dict,
+    train_step,
+    state: TrainState,
+    loader,
+    mesh,
+    rng,
+    epoch: int,
+    print_freq: int = 10,
+):
+    metric_logger = MetricLogger()
+    metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+
+    for batch in metric_logger.log_every(loader, print_freq, header):
+        arrays, _meta = split_batch(batch)
+        arrays = shard_batch(arrays, mesh)
+        state, metrics = train_step(state, arrays, rng)
+
+        loss_value = float(metrics["loss"])
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            print({k: float(v) for k, v in metrics.items()})
+            sys.exit(1)
+
+        log = {
+            k: float(v)
+            for k, v in metrics.items()
+            if "_0" not in k and "_1" not in k and "_2" not in k
+            and "_3" not in k and "_4" not in k and "_enc_" not in k
+        }
+        metric_logger.update(**log)
+
+    print("Averaged stats:", metric_logger)
+    stats = {k: meter.global_avg for k, meter in metric_logger.meters.items()}
+    return state, stats

@@ -1,0 +1,55 @@
+"""Device mesh + sharding plumbing.
+
+TPU-native replacement for the reference's DDP/NCCL layer
+(``utils/misc.py:392-458``, main.py:85): a ``jax.sharding.Mesh`` with a
+``data`` axis (and a ``model`` axis kept general for TP-style sharding later),
+``NamedSharding`` annotations on the batch, replicated params, and XLA-inserted
+collectives — ``reduce_dict``/all_reduce disappear because criterion sums over
+the globally sharded batch inside jit.
+
+Multi-host: call ``maybe_initialize_distributed()`` once per process; the mesh
+spans all global devices and per-host data loading covers the process shard
+(data/loader.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed():
+    """jax.distributed.initialize() when launched multi-process (env-driven)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(num_data: int = -1, num_model: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    grid = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
+    """device_put every array with its leading dim split over 'data'."""
+    sh = data_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch_arrays.items()}
+
+
+def replicate_params(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,138 @@
+"""Integration: synthetic dataset -> loader -> sharded train steps + eval on
+the virtual 8-device CPU mesh (data-parallel over all 8)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_feature_learning_tpu.config import load_config_train
+from multimodal_feature_learning_tpu.data.anet import (
+    ActivityNetDataset,
+    FeatureBackend,
+)
+from multimodal_feature_learning_tpu.data.loader import DataLoader
+from multimodal_feature_learning_tpu.data.vocab import build_vocab
+from multimodal_feature_learning_tpu.engine.evaluate import evaluate, make_eval_step
+from multimodal_feature_learning_tpu.engine.state import (
+    create_train_state,
+    make_optimizer,
+)
+from multimodal_feature_learning_tpu.engine.train import make_train_step, train_one_epoch
+from multimodal_feature_learning_tpu.models.criterion import SetCriterion, build_weight_dict
+from multimodal_feature_learning_tpu.models.dvc import build_model
+from multimodal_feature_learning_tpu.parallel.mesh import make_mesh, replicate_params
+
+
+def small_cfg():
+    cfg = load_config_train()
+    cfg.batch_size = 8
+    cfg.dvc.d_model = 64
+    cfg.dvc.num_queries = 6
+    cfg.dvc.detr.feature_dim = 64
+    cfg.dvc.detr.d_model = 64
+    cfg.dvc.detr.num_heads = 2
+    cfg.dvc.detr.enc_layers = 2
+    cfg.dvc.detr.dec_layers = 2
+    cfg.dvc.detr.transformer_ff_dim = 128
+    cfg.dvc.detr.video_rescale_len = 24
+    cfg.dvc.detr.num_feature_levels = 3
+    cfg.dvc.caption.d_model = 64
+    cfg.dvc.caption.depth = 2
+    cfg.dvc.caption.num_heads = 2
+    cfg.dataset.activity_net.video_rescale_len = 24
+    cfg.dataset.activity_net.max_caption_len_all = 8
+    cfg.dataset.activity_net.max_gt_target_segments = 4
+    return cfg
+
+
+def make_annotations(n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ann = {}
+    words = ["a", "man", "is", "playing", "guitar", "dog", "runs", "fast", "ball"]
+    for i in range(n):
+        dur = float(rng.uniform(10, 60))
+        k = int(rng.integers(1, 4))
+        stamps, sents = [], []
+        for _ in range(k):
+            s = float(rng.uniform(0, dur * 0.7))
+            e = float(rng.uniform(s + 0.5, dur))
+            stamps.append([s, e])
+            sents.append(" ".join(rng.choice(words, size=5)))
+        ann[f"v_{i:04d}"] = {"duration": dur, "timestamps": stamps, "sentences": sents}
+    return ann
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("anet")
+    cfg = small_cfg()
+    ann = make_annotations()
+    ann_path = tmp / "train.json"
+    ann_path.write_text(json.dumps(ann))
+
+    vocab = build_vocab(ann, min_freq=1)
+    features = FeatureBackend("", feature_dim=cfg.dvc.detr.feature_dim, synthetic_len=40)
+    dataset = ActivityNetDataset(
+        str(ann_path), features, vocab, is_training=True,
+        max_gt_target_segments=4, max_caption_len=8,
+    )
+    loader = DataLoader(
+        dataset, cfg.batch_size, vocab.pad_idx,
+        video_rescale_len=24, max_gt=4, max_caption_len=8, seed=0,
+    )
+    model = build_model(cfg, len(vocab), vocab.pad_idx, vocab.bos_idx, vocab.eos_idx)
+    mesh = make_mesh()
+    batch0 = next(iter(loader))
+    from multimodal_feature_learning_tpu.data.loader import split_batch
+
+    arrays, _ = split_batch(batch0)
+    params = model.init(jax.random.PRNGKey(0), arrays)
+    params = replicate_params(params, mesh)
+    return cfg, model, dataset, loader, vocab, mesh, params
+
+
+def test_train_two_steps(world):
+    cfg, model, dataset, loader, vocab, mesh, params = world
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions", "contexts", "mask_prediction"],
+        pad_idx=vocab.pad_idx, smoothing=cfg.dvc.smoothing,
+    )
+    tx = make_optimizer(cfg, steps_per_epoch=len(loader))
+    # copy: train_step donates the state, which would delete the shared fixture
+    import jax.numpy as jnp
+
+    state = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    train_step = make_train_step(model, criterion, weight_dict, tx)
+
+    state, stats = train_one_epoch(
+        model, criterion, weight_dict, train_step, state, loader, mesh,
+        jax.random.PRNGKey(0), epoch=0, print_freq=1,
+    )
+    assert np.isfinite(stats["loss"])
+    assert int(state.step) == len(loader)
+
+
+def test_eval_loop(world):
+    cfg, model, dataset, loader, vocab, mesh, params = world
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions", "contexts", "mask_prediction"],
+        pad_idx=vocab.pad_idx, smoothing=cfg.dvc.smoothing,
+    )
+    cfg.save_submission = False
+    eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+    stats, submission, scores = evaluate(
+        model, criterion, weight_dict, eval_step, params, loader, mesh,
+        vocab, cfg, epoch=0,
+    )
+    assert np.isfinite(stats["loss"])
+    assert len(submission["results"]) == len(dataset)
+    for vid, results in submission["results"].items():
+        for r in results:
+            assert r["timestamp"][0] <= r["timestamp"][1]
+            assert isinstance(r["sentence"], str)

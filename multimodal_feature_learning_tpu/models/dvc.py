@@ -281,7 +281,8 @@ class UnimodalDVC:
     def init(self, rng, batch) -> Dict:
         r1, r2, r3 = jax.random.split(rng, 3)
         params = {}
-        params["proposal"] = self.proposal_net.init(
+        # jit the inits: eager (op-by-op) init of the full stack takes minutes
+        params["proposal"] = jax.jit(self.proposal_net.init)(
             r1, batch["video_tensor"], batch["video_mask"], batch["durations"]
         )
         B = batch["video_tensor"].shape[0]
@@ -290,10 +291,14 @@ class UnimodalDVC:
         dummy_memory = jnp.zeros(
             (N, self.num_tokens, self.cfg.dvc.d_model), dtype=jnp.float32
         )
-        params["caption"] = self.caption_decoder.init(r2, dummy_tokens, dummy_memory)
+        params["caption"] = jax.jit(self.caption_decoder.init)(
+            r2, dummy_tokens, dummy_memory
+        )
         if self.use_differentiable_mask:
             dummy_in = jnp.zeros((N, 2 + self.cfg.dvc.d_model))
-            params["context_mask"] = self.context_mask_model.init(r3, dummy_in)
+            params["context_mask"] = jax.jit(self.context_mask_model.init)(
+                r3, dummy_in
+            )
         return params
 
     # -- shared trunk -------------------------------------------------------------

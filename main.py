@@ -1,0 +1,216 @@
+"""Train/val driver for the TPU-native DVC framework.
+
+Behavioral spec: reference ``main.py:23-197`` — seeding, distributed init,
+dataset/loader build, model+criterion build, AdamW + StepLR, epoch loop with
+periodic eval, checkpoint save/resume, JSONL logs.  Config-driven like the
+reference, but the train/test switch is a CLI flag instead of a hardcoded
+boolean (config/config_dvc.py:11).
+
+Usage:
+  python main.py [--mode train|eval] [--config-overrides k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="train", choices=["train", "eval"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic features/annotations smoke run (no data needed)")
+    p.add_argument("--config-overrides", nargs="*", default=[],
+                   help="dotted config overrides, e.g. dvc.d_model=256")
+    return p.parse_args()
+
+
+def apply_overrides(cfg, overrides):
+    for kv in overrides:
+        key, val = kv.split("=", 1)
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = getattr(node, part)
+        old = getattr(node, parts[-1])
+        typ = type(old)
+        setattr(node, parts[-1], typ(val) if typ is not bool else val in ("1", "true", "True"))
+    return cfg
+
+
+def make_synthetic_world(cfg, tmpdir="./synthetic_anet"):
+    """Writes tiny synthetic annotations so the full pipeline runs without
+    ActivityNet on disk (the reference's for_testing/make_h5 pattern)."""
+    os.makedirs(tmpdir, exist_ok=True)
+    rng = np.random.default_rng(cfg.seed)
+    words = ["a", "man", "is", "playing", "guitar", "the", "dog", "runs",
+             "across", "field", "person", "rides", "bike", "crowd", "cheers"]
+    for split, n in (("train.json", 64), ("val_data_1_with_action_classes.json", 32)):
+        ann = {}
+        for i in range(n):
+            dur = float(rng.uniform(10, 120))
+            k = int(rng.integers(1, 5))
+            stamps, sents = [], []
+            for _ in range(k):
+                s = float(rng.uniform(0, dur * 0.7))
+                e = float(rng.uniform(s + 1.0, dur))
+                stamps.append([s, e])
+                sents.append(" ".join(rng.choice(words, size=int(rng.integers(4, 9)))))
+            ann[f"{split[:2]}_{i:05d}"] = {
+                "duration": dur, "timestamps": stamps, "sentences": sents,
+            }
+        with open(os.path.join(tmpdir, split), "w") as f:
+            json.dump(ann, f)
+    cfg.dataset.activity_net.anet_path = tmpdir
+    cfg.dataset.activity_net.vocab_file_path = os.path.join(tmpdir, "vocab.pkl")
+    return cfg
+
+
+def main():
+    args = parse_args()
+
+    from multimodal_feature_learning_tpu.config import load_config
+    from multimodal_feature_learning_tpu.data.anet import build_dataset
+    from multimodal_feature_learning_tpu.data.loader import DataLoader, split_batch
+    from multimodal_feature_learning_tpu.engine.evaluate import evaluate, make_eval_step
+    from multimodal_feature_learning_tpu.engine.state import (
+        create_train_state,
+        load_checkpoint,
+        make_optimizer,
+        save_checkpoint,
+    )
+    from multimodal_feature_learning_tpu.engine.train import make_train_step, train_one_epoch
+    from multimodal_feature_learning_tpu.evaluation import run_eval
+    from multimodal_feature_learning_tpu.models.criterion import (
+        SetCriterion,
+        build_weight_dict,
+    )
+    from multimodal_feature_learning_tpu.models.dvc import build_model
+    from multimodal_feature_learning_tpu.parallel.mesh import (
+        make_mesh,
+        maybe_initialize_distributed,
+        replicate_params,
+    )
+
+    maybe_initialize_distributed()
+    cfg = load_config("train")
+    if args.synthetic:
+        cfg = make_synthetic_world(cfg)
+    cfg = apply_overrides(cfg, args.config_overrides)
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.batch_size = args.batch_size
+    if args.output_dir is not None:
+        cfg.output_dir = args.output_dir
+        cfg.submission_dir = os.path.join(cfg.output_dir, "submission")
+    if args.resume is not None:
+        cfg.resume = args.resume
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    np.random.seed(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    # data
+    train_ds, vocab = build_dataset("train", cfg)
+    val_ds, _ = build_dataset("val", cfg, vocab)
+    anet = cfg.dataset.activity_net
+    mk_loader = lambda ds, shuffle: DataLoader(
+        ds, cfg.batch_size, vocab.pad_idx,
+        video_rescale_len=anet.video_rescale_len,
+        max_gt=anet.max_gt_target_segments,
+        max_caption_len=anet.max_caption_len_all,
+        shuffle=shuffle, seed=cfg.seed,
+    )
+    train_loader = mk_loader(train_ds, True)
+    val_loader = mk_loader(val_ds, False)
+    print(f"train videos: {len(train_ds)}  val videos: {len(val_ds)}  vocab: {len(vocab)}")
+
+    # model + criterion
+    model = build_model(cfg, len(vocab), vocab.pad_idx, vocab.bos_idx, vocab.eos_idx)
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=list(cfg.dvc.losses), pad_idx=vocab.pad_idx,
+        smoothing=cfg.dvc.smoothing, lloss_gau_mask=cfg.dvc.lloss_gau_mask,
+        lloss_beta=cfg.dvc.lloss_beta,
+    )
+
+    mesh = make_mesh(cfg.mesh.num_data, cfg.mesh.num_model)
+    batch0 = next(iter(train_loader))
+    arrays0, _ = split_batch(batch0)
+    params = model.init(rng, arrays0)
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.2f} M")
+    params = replicate_params(params, mesh)
+
+    tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
+    state = create_train_state(params, tx)
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        restored = load_checkpoint(cfg.resume, state)
+        state = restored["state"]
+        start_epoch = restored["epoch"] + 1
+        print(f"resumed from {cfg.resume} at epoch {start_epoch}")
+
+    gt_path = os.path.join(anet.anet_path, "val_data_1_with_action_classes.json")
+    score_fn = lambda sub: run_eval(cfg.eval, sub, gt_path)
+
+    if args.mode == "eval":
+        eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+        stats, submission, scores = evaluate(
+            model, criterion, weight_dict, eval_step, state.params, val_loader,
+            mesh, vocab, cfg, epoch=start_epoch, score_fn=score_fn,
+        )
+        print("val stats:", {k: round(v, 4) for k, v in stats.items()})
+        return
+
+    from multimodal_feature_learning_tpu.engine.state import make_lr_schedule
+
+    schedule = make_lr_schedule(cfg.lr, cfg.lr_drop, max(len(train_loader), 1))
+    train_step = make_train_step(model, criterion, weight_dict, tx, schedule)
+    eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+
+    print("Start training")
+    t_start = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        train_loader.set_epoch(epoch)
+        state, train_stats = train_one_epoch(
+            model, criterion, weight_dict, train_step, state, train_loader,
+            mesh, rng, epoch, cfg.print_freq,
+        )
+        save_checkpoint(cfg.output_dir, state, epoch)
+        if (epoch + 1) % cfg.checkpoint_rate == 0 or (epoch + 1) % cfg.lr_drop == 0:
+            save_checkpoint(cfg.output_dir, state, epoch, name=f"checkpoint{epoch:04d}")
+
+        log_stats = {f"train_{k}": v for k, v in train_stats.items()}
+        log_stats.update({"epoch": epoch})
+
+        if (epoch + 1) % cfg.eval_rate == 0 or epoch == cfg.epochs - 1:
+            val_stats, _, scores = evaluate(
+                model, criterion, weight_dict, eval_step, state.params,
+                val_loader, mesh, vocab, cfg, epoch=epoch, score_fn=score_fn,
+            )
+            log_stats.update({f"val_{k}": v for k, v in val_stats.items()})
+            if scores:
+                log_stats.update({f"score_{k}": v for k, v in scores.items()})
+
+        if jax.process_index() == 0:
+            with open(os.path.join(cfg.output_dir, "train_log.txt"), "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+
+    print(f"Training done in {time.time() - t_start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from .logging import MetricLogger, SmoothedValue
 from .state import TrainState
 
 
-def make_train_step(model, criterion, weight_dict: Dict[str, float], tx):
+def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_schedule=None):
     """Returns jitted (state, batch_arrays, rng) -> (state, metrics)."""
 
     def loss_fn(params, batch, rng):
@@ -43,6 +43,8 @@ def make_train_step(model, criterion, weight_dict: Dict[str, float], tx):
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

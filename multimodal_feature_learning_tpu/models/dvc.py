@@ -100,6 +100,11 @@ class ProposalNet(nn.Module):
     max_eseq_length: int = 10
     video_rescale_len: int = 300
     msda_backend: str = ""
+    # dense (deformable) family carries a per-query class head whose softmax
+    # scores are exposed as pred_logits (unimodal_deformable_dvc.py:186-204);
+    # the sparse family dropped it.
+    with_class_head: bool = False
+    num_classes: int = 200
 
     def setup(self):
         self.base_encoder = BaseEncoder(self.num_feature_levels, self.d_model)
@@ -126,6 +131,8 @@ class ProposalNet(nn.Module):
         self.segment_embedding_decoder = FFN(self.d_model, 2, 3, final_zero_init=True)
         self.count_head_encoder = nn.Dense(self.max_eseq_length + 1)
         self.count_head_decoder = nn.Dense(self.max_eseq_length + 1)
+        if self.with_class_head:
+            self.class_embedding = nn.Dense(self.num_classes + 1)
 
     def __call__(self, video, video_mask, durations, deterministic: bool = True):
         """
@@ -184,6 +191,11 @@ class ProposalNet(nn.Module):
             "outputs_segment_all": outputs_segment,   # (layers, B, Q, 2)
             "outputs_count_all": outputs_count,        # (layers, B, C)
         }
+        if self.with_class_head:
+            out["outputs_class_all"] = nn.softmax(
+                self.class_embedding(query_features), axis=-1
+            )
+            out["pred_logits"] = out["outputs_class_all"][-1]
         if enc_inputs["backbone_topk_proposals"] is not None:
             out["backbone_topk_proposals"] = enc_inputs["backbone_topk_proposals"]
         if self.rho:
@@ -254,6 +266,8 @@ class UnimodalDVC:
             max_eseq_length=dvc.max_eseq_length,
             video_rescale_len=det.video_rescale_len,
             msda_backend=cfg.msda_backend,
+            with_class_head=bool(dvc.use_deformable_detr),
+            num_classes=dvc.num_classes,
         )
         cap = dvc.caption
         self.caption_decoder = UnimodalCaptionDecoder(

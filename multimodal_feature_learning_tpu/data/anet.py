@@ -73,6 +73,7 @@ class ActivityNetDataset:
         num_samples: int = 6,
         num_classes: int = 200,
         seed: int = 0,
+        audio_features: Optional["FeatureBackend"] = None,
     ):
         with open(annotation_file) as f:
             self.annotation = json.load(f)
@@ -86,6 +87,7 @@ class ActivityNetDataset:
         if for_testing:
             self.keys = self.keys[:num_samples]
         self.features = features
+        self.audio_features = audio_features
         self.vocab = vocab
         self.is_training = is_training
         self.max_gt = max_gt_target_segments
@@ -122,9 +124,13 @@ class ActivityNetDataset:
             ids = [self.vocab.bos_idx] + ids[: self.max_caption_len - 2] + [self.vocab.eos_idx]
             caption_tokens.append(ids)
 
+        sample_audio = {}
+        if self.audio_features is not None:
+            sample_audio["audio_feature"] = self.audio_features.get(key)
         return {
             "key": key,
             "video_feature": self.features.get(key),  # (num_tokens, D)
+            **sample_audio,
             "duration": duration,
             "gt_timestamps": gt_timestamps,      # [n, 2] seconds
             "action_labels": action_labels,      # [n]
@@ -140,6 +146,7 @@ def collate_fixed(
     max_gt: int = 10,
     max_caption_len: int = 20,
     pad_to_batch: int = 0,
+    audio_rescale_len: int = 0,
 ) -> Optional[Dict]:
     """Fixed-shape batch dict. ``pad_to_batch`` pads the batch dimension with
     zero-masked dummy videos so every step has identical shapes (no recompiles).
@@ -190,9 +197,38 @@ def collate_fixed(
     video = nearest_resize(video, video_rescale_len, axis=1)
     mask = nearest_resize(mask, video_rescale_len, axis=1)
 
+    audio = audio_mask = None
+    if audio_rescale_len and "audio_feature" in samples[0]:
+        Da = samples[0]["audio_feature"].shape[1]
+        a_max = max(s["audio_feature"].shape[0] for s in samples)
+        audio = np.zeros((B, a_max, Da), dtype=np.float32)
+        audio_mask = np.ones((B, a_max), dtype=bool)
+        for i, s in enumerate(samples):
+            La = s["audio_feature"].shape[0]
+            audio[i, :La] = s["audio_feature"]
+            audio_mask[i, :La] = False
+        audio = nearest_resize(audio, audio_rescale_len, axis=1)
+        audio_mask = nearest_resize(audio_mask, audio_rescale_len, axis=1)
+
     batch_valid = np.zeros((B,), dtype=bool)
     batch_valid[:n_real] = True
 
+    if audio is not None:
+        return {
+            "video_tensor": video,
+            "video_mask": mask,
+            "audio_tensor": audio,
+            "audio_mask": audio_mask,
+            "durations": durations,
+            "batch_valid": batch_valid,
+            "gt_segments": gt_segments,
+            "gt_mask": gt_mask,
+            "gt_labels": gt_labels,
+            "cap_tokens": cap_tokens,
+            "keys": keys,
+            "raw_captions": raw_captions,
+            "gt_timestamps": gt_timestamps,
+        }
     return {
         "video_tensor": video,
         "video_mask": mask,

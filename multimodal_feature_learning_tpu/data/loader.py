@@ -18,7 +18,8 @@ import numpy as np
 from .anet import collate_fixed
 
 ARRAY_KEYS = (
-    "video_tensor", "video_mask", "durations", "batch_valid",
+    "video_tensor", "video_mask", "audio_tensor", "audio_mask",
+    "durations", "batch_valid",
     "gt_segments", "gt_mask", "gt_labels", "cap_tokens",
 )
 
@@ -44,6 +45,7 @@ class DataLoader:
         drop_last: bool = False,
         pad_batches: bool = True,
         num_prefetch: int = 2,
+        audio_rescale_len: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +58,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.pad_batches = pad_batches
         self.num_prefetch = num_prefetch
+        self.audio_rescale_len = audio_rescale_len
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -91,6 +94,7 @@ class DataLoader:
                 self.max_gt,
                 self.max_caption_len,
                 pad_to_batch=self.batch_size if self.pad_batches else 0,
+                audio_rescale_len=self.audio_rescale_len,
             )
             if batch is not None:
                 yield batch

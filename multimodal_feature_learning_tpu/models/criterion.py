@@ -170,13 +170,24 @@ class SetCriterion:
         loss = label_smoothing_kl(log_pred, cap[:, 1:], self.pad_idx, self.smoothing)
         return {"loss_caption": loss / num_tokens}
 
-    def loss_contexts(self, outputs, targets, indices, num_segments, num_tokens, memory_mask):
-        pred = outputs["pred_memory_mask"]  # (N, S)
-        row_valid = targets["gt_mask"].reshape(-1)  # (N,)
-        loss = _bce_with_logits(pred, memory_mask)
+    def _masked_bce(self, pred, target, row_valid):
+        loss = _bce_with_logits(pred, target)
         loss = jnp.where(row_valid[:, None], loss, 0.0)
         denom = jnp.clip(jnp.sum(row_valid) * pred.shape[1], 1)
-        return {"loss_context": jnp.sum(loss) / denom}
+        return jnp.sum(loss) / denom
+
+    def loss_contexts(self, outputs, targets, indices, num_segments, num_tokens, memory_mask):
+        row_valid = targets["gt_mask"].reshape(-1)  # (N,)
+        if isinstance(memory_mask, tuple):
+            # multimodal: mean of video/audio BCE (criterion.py:363-390)
+            v = self._masked_bce(outputs["video_pred_memory_mask"], memory_mask[0], row_valid)
+            a = self._masked_bce(outputs["audio_pred_memory_mask"], memory_mask[1], row_valid)
+            return {"loss_context": (v + a) / 2}
+        return {
+            "loss_context": self._masked_bce(
+                outputs["pred_memory_mask"], memory_mask, row_valid
+            )
+        }
 
     def loss_mask_prediction(self, outputs, targets, indices, num_segments, num_tokens):
         mask_prediction = outputs["backbone_mask_prediction"]  # (B, S)

@@ -1,0 +1,758 @@
+"""Multimodal (video + audio) DVC family.
+
+Behavioral spec: the *intended* multimodal models of the reference — all four
+multimodal classes are broken at construction in the snapshot (SURVEY §0):
+  * cross-modal sparse encoder: per layer, deformable self-attn within each
+    modality then deformable cross-modal attention (audio queries sampling the
+    video memory and vice versa), sparse top-rho token selection per modality
+    with per-sample scatter-back
+    (models/sparse/multimodal_sparse_deformable_transformer.py:298-583 —
+    fixing its audio-scatter-reads-video and shared-attention artifacts).
+  * decoder layer: query self-attn, dual deformable cross-attn into the two
+    memories, concat bridge LN(2D)->Linear->dropout->ReLU, FFN
+    (models/deformable/multimodal_deformable_transformer.py:330-433).
+  * caption decoder layer: self-attn, dual vanilla cross-attn, concat bridge
+    Linear(2D->D)+GELU, MLP (models/modules/layers.py:648-823, repaired).
+  * context loss: mean of video/audio BCE (criterion.py:363-390) — handled by
+    SetCriterion via the multimodal outputs keys.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.segment_ops import denormalize_segments, inverse_sigmoid
+from .base_encoder import BaseEncoder, pyramid_shapes
+from .caption_decoder import make_causal_mask
+from .embeddings import VocabularyEmbedder, caption_positional_encoding
+from .layers import ContextMaskModel, CrossAttention, FFN, MLP
+from .matcher import hungarian_match
+from .msda_module import MSDeformAttn
+from .transformer import (
+    SparseDeformableTransformer,
+    get_encoder_reference_points,
+    predict_event_num,
+)
+from .dvc import crop_segments
+
+
+# ---------------------------------------------------------------------------
+# cross-modal encoder
+# ---------------------------------------------------------------------------
+
+class CrossModalEncoderLayer(nn.Module):
+    """Deformable self-attn per modality + deformable cross-modal attention."""
+
+    d_model: int
+    d_ffn: int
+    dropout: float
+    n_levels: int
+    n_heads: int
+    n_points: int
+    msda_backend: str = ""
+
+    def setup(self):
+        self.self_attn_video = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.self_attn_audio = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.cross_attn_v2a = MSDeformAttn(  # video queries sample audio values
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.cross_attn_a2v = MSDeformAttn(  # audio queries sample video values
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.dropout1 = nn.Dropout(self.dropout)
+        self.norm_v = nn.LayerNorm(epsilon=1e-5)
+        self.norm_a = nn.LayerNorm(epsilon=1e-5)
+        self.linear1 = nn.Dense(self.d_ffn)
+        self.dropout2 = nn.Dropout(self.dropout)
+        self.linear2 = nn.Dense(self.d_model)
+        self.dropout3 = nn.Dropout(self.dropout)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+
+    def _ffn(self, x, deterministic):
+        h = self.linear2(self.dropout2(nn.relu(self.linear1(x)), deterministic=deterministic))
+        return self.norm2(x + self.dropout3(h, deterministic=deterministic))
+
+    def __call__(
+        self,
+        video_src, audio_src,          # dense memories (B, Sv/Sa, D)
+        video_q, audio_q,              # queries (sparse tokens or dense) or None
+        video_pos, audio_pos,          # pos embeds of the queries
+        video_ref, audio_ref,          # reference points of the queries
+        video_shapes, audio_shapes,    # static temporal shapes
+        video_mask, audio_mask,        # (B, S) padding masks of the memories
+        deterministic: bool = True,
+    ):
+        """Returns (audio_attended_visual, visual_attended_audio,
+        v_loc, v_attn, a_loc, a_attn) for the query token sets."""
+        vq = video_src if video_q is None else video_q
+        aq = audio_src if audio_q is None else audio_q
+
+        v2, _, _ = self.self_attn_video(
+            vq + video_pos, video_ref, video_src, video_shapes, video_mask
+        )
+        vq = self.norm_v(vq + self.dropout1(v2, deterministic=deterministic))
+
+        a2, _, _ = self.self_attn_audio(
+            aq + audio_pos, audio_ref, audio_src, audio_shapes, audio_mask
+        )
+        aq = self.norm_a(aq + self.dropout1(a2, deterministic=deterministic))
+
+        # cross-modal: each modality's queries sample the OTHER memory
+        audio_attended_visual, v_loc, v_attn = self.cross_attn_v2a(
+            vq, video_ref, audio_src, audio_shapes, audio_mask
+        )
+        visual_attended_audio, a_loc, a_attn = self.cross_attn_a2v(
+            aq, audio_ref, video_src, video_shapes, video_mask
+        )
+
+        audio_attended_visual = self._ffn(audio_attended_visual, deterministic)
+        visual_attended_audio = self._ffn(visual_attended_audio, deterministic)
+        return audio_attended_visual, visual_attended_audio, v_loc, v_attn, a_loc, a_attn
+
+
+class MultimodalDecoderLayer(nn.Module):
+    """Query self-attn + dual deformable cross-attn + concat bridge + FFN."""
+
+    d_model: int
+    d_ffn: int
+    dropout: float
+    n_levels: int
+    n_heads: int
+    n_points: int
+    msda_backend: str = ""
+
+    def setup(self):
+        self.self_attn = CrossAttention(
+            self.d_model, self.n_heads, qkv_bias=True, attention_dropout=self.dropout
+        )
+        self.dropout2 = nn.Dropout(self.dropout)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.cross_attn_video = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.cross_attn_audio = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, self.msda_backend
+        )
+        self.dropout1 = nn.Dropout(self.dropout)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        # bridge (multimodal_deformable_transformer.py:364-367, 424-430)
+        self.norm4 = nn.LayerNorm(epsilon=1e-5)
+        self.linear3 = nn.Dense(self.d_model)
+        self.dropout5 = nn.Dropout(self.dropout)
+        # ffn
+        self.linear1 = nn.Dense(self.d_ffn)
+        self.dropout3 = nn.Dropout(self.dropout)
+        self.linear2 = nn.Dense(self.d_model)
+        self.dropout4 = nn.Dropout(self.dropout)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+
+    def __call__(
+        self,
+        tgt, query_pos,
+        video_ref, audio_ref,          # (B, Q, L, 1) per modality
+        video_src, audio_src,
+        video_shapes, audio_shapes,
+        video_mask, audio_mask,
+        deterministic: bool = True,
+    ):
+        q = tgt + query_pos
+        sa = self.self_attn(q, q, tgt, deterministic=deterministic)
+        tgt = self.norm2(tgt + self.dropout2(sa, deterministic=deterministic))
+
+        q2 = tgt + query_pos
+        tv, v_loc, v_attn = self.cross_attn_video(
+            q2, video_ref, video_src, video_shapes, video_mask
+        )
+        tv = self.norm1(tgt + self.dropout1(tv, deterministic=deterministic))
+        ta, a_loc, a_attn = self.cross_attn_audio(
+            q2, audio_ref, audio_src, audio_shapes, audio_mask
+        )
+        ta = self.norm1(tgt + self.dropout1(ta, deterministic=deterministic))
+
+        x = jnp.concatenate([tv, ta], axis=-1)
+        x = self.norm4(x)
+        x = self.linear3(x)
+        x = self.dropout5(x, deterministic=deterministic)
+        x = nn.relu(x)
+
+        h = self.linear2(self.dropout3(nn.relu(self.linear1(x)), deterministic=deterministic))
+        x = self.norm3(x + self.dropout4(h, deterministic=deterministic))
+        return x, v_loc, v_attn, a_loc, a_attn
+
+
+# ---------------------------------------------------------------------------
+# multimodal proposal net
+# ---------------------------------------------------------------------------
+
+class MultimodalProposalNet(nn.Module):
+    """Two base-encoder pyramids -> cross-modal (sparse) encoder -> multimodal
+    decoder -> segment/count heads."""
+
+    d_model: int = 512
+    num_queries: int = 20
+    num_feature_levels: int = 4
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ff_dim: int = 2048
+    dropout: float = 0.1
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    rho: float = 0.5
+    max_eseq_length: int = 10
+    video_rescale_len: int = 300
+    audio_rescale_len: int = 50
+    msda_backend: str = ""
+
+    def setup(self):
+        self.video_base_encoder = BaseEncoder(self.num_feature_levels, self.d_model)
+        self.audio_base_encoder = BaseEncoder(self.num_feature_levels, self.d_model)
+        # reuse the unimodal transformer's preparation machinery per modality
+        kw = dict(
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            num_encoder_layers=0,
+            num_decoder_layers=0,
+            dim_feedforward=self.ff_dim,
+            dropout=self.dropout,
+            num_feature_levels=self.num_feature_levels,
+            rho=self.rho,
+            use_enc_aux_loss=False,
+            msda_backend=self.msda_backend,
+        )
+        self.video_prep = SparseDeformableTransformer(**kw)
+        self.audio_prep = SparseDeformableTransformer(**kw)
+        self.enc_layers_mod = [
+            CrossModalEncoderLayer(
+                self.d_model, self.ff_dim, self.dropout,
+                self.num_feature_levels, self.num_heads, self.enc_n_points,
+                self.msda_backend,
+            )
+            for _ in range(self.enc_layers)
+        ]
+        self.dec_layers_mod = [
+            MultimodalDecoderLayer(
+                self.d_model, self.ff_dim, self.dropout,
+                self.num_feature_levels, self.num_heads, self.dec_n_points,
+                self.msda_backend,
+            )
+            for _ in range(self.dec_layers)
+        ]
+        self.query_embedding = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (self.num_queries, self.d_model * 2),
+        )
+        self.reference_points_head = nn.Dense(1)
+        self.segment_embedding_decoder = FFN(self.d_model, 2, 3, final_zero_init=True)
+        self.count_head_decoder = nn.Dense(self.max_eseq_length + 1)
+
+    def _encode_modality(self, prep, tgt_none, enc_inputs):
+        """Gather sparse queries for one modality. Returns dict of query-side
+        tensors + scatter bookkeeping."""
+        src = enc_inputs["src_flatten"]
+        shapes = enc_inputs["temporal_shapes"]
+        refs = get_encoder_reference_points(shapes, enc_inputs["valid_ratios"])
+        topk = enc_inputs["backbone_topk_proposals"]
+        if topk is None:
+            return {
+                "q": None, "pos": enc_inputs["lvl_pos_flatten"], "ref": refs,
+                "rows": None, "topk": None, "keep": None,
+            }
+        B, K = topk.shape
+        rows = jnp.arange(B)[:, None]
+        keep = jnp.arange(K)[None, :] < enc_inputs["sparse_token_nums"][:, None]
+        return {
+            "q": src[rows, topk],
+            "pos": enc_inputs["lvl_pos_flatten"][rows, topk],
+            "ref": refs[rows, topk],
+            "rows": rows, "topk": topk, "keep": keep,
+        }
+
+    @staticmethod
+    def _scatter_back(output, q_new, sel):
+        if sel["topk"] is None:
+            return q_new, q_new
+        old = jnp.take_along_axis(output, sel["topk"][..., None], axis=1)
+        vals = jnp.where(sel["keep"][..., None], q_new, old)
+        return output.at[sel["rows"], sel["topk"]].set(vals), q_new
+
+    def __call__(
+        self,
+        video, video_mask, audio, audio_mask, durations,
+        deterministic: bool = True,
+    ):
+        B = video.shape[0]
+        v_srcs, v_masks, v_poses = self.video_base_encoder(video, video_mask, durations)
+        a_srcs, a_masks, a_poses = self.audio_base_encoder(audio, audio_mask, durations)
+
+        v_in = self.video_prep.prepare_encoder_inputs(v_srcs, v_masks, v_poses)
+        a_in = self.audio_prep.prepare_encoder_inputs(a_srcs, a_masks, a_poses)
+        v_shapes, a_shapes = v_in["temporal_shapes"], a_in["temporal_shapes"]
+
+        v_sel = self._encode_modality(self.video_prep, None, v_in)
+        a_sel = self._encode_modality(self.audio_prep, None, a_in)
+
+        video_out, audio_out = v_in["src_flatten"], a_in["src_flatten"]
+        vq, aq = v_sel["q"], a_sel["q"]
+        for layer in self.enc_layers_mod:
+            aav, vaa, *_ = layer(
+                video_out, audio_out, vq, aq,
+                v_sel["pos"], a_sel["pos"], v_sel["ref"], a_sel["ref"],
+                v_shapes, a_shapes, v_in["mask_flatten"], a_in["mask_flatten"],
+                deterministic,
+            )
+            video_out, vq = self._scatter_back(video_out, aav, v_sel)
+            audio_out, aq = self._scatter_back(audio_out, vaa, a_sel)
+
+        # decoder
+        query_pos, tgt = jnp.split(self.query_embedding, 2, axis=1)
+        query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
+        tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
+        reference_points = nn.sigmoid(self.reference_points_head(query_pos))  # (B,Q,1)
+        init_ref = reference_points
+
+        inter, refs_list = [], []
+        v_locs, v_attns, a_locs, a_attns = [], [], [], []
+        output = tgt
+        for layer in self.dec_layers_mod:
+            v_ref = reference_points[:, :, None, :] * v_in["valid_ratios"][:, None, :, None]
+            a_ref = reference_points[:, :, None, :] * a_in["valid_ratios"][:, None, :, None]
+            output, v_loc, v_attn, a_loc, a_attn = layer(
+                output, query_pos, v_ref, a_ref,
+                video_out, audio_out, v_shapes, a_shapes,
+                v_in["mask_flatten"], a_in["mask_flatten"], deterministic,
+            )
+            inter.append(output)
+            refs_list.append(reference_points)
+            v_locs.append(v_loc)
+            v_attns.append(v_attn)
+            a_locs.append(a_loc)
+            a_attns.append(a_attn)
+
+        query_features = jnp.stack(inter)  # (layers, B, Q, D)
+        inter_references = jnp.stack(refs_list)
+
+        outputs_segment = self.segment_embedding_decoder(query_features)
+        outputs_count = predict_event_num(self.count_head_decoder, query_features)
+        reference = jnp.concatenate([init_ref[None], inter_references[:-1]], axis=0)
+        outputs_segment = nn.sigmoid(outputs_segment + inverse_sigmoid(reference))
+
+        out = {
+            "pred_segments": outputs_segment[-1],
+            "pred_count": outputs_count[-1],
+            "outputs_segment_all": outputs_segment,
+            "outputs_count_all": outputs_count,
+            "video_memory": video_out,
+            "audio_memory": audio_out,
+            "query_features": query_features,
+            "video_temporal_shapes": v_shapes,
+            "audio_temporal_shapes": a_shapes,
+            # the mask-prediction loss keys are wired to the VIDEO stream (the
+            # dominant modality), mirroring the unimodal sparse contract
+            "temporal_shapes": v_shapes,
+            "level_start_index": tuple(int(x) for x in np.cumsum((0,) + v_shapes[:-1])),
+            "sampling_locations_dec": jnp.stack(v_locs, axis=1),
+            "attn_weights_dec": jnp.stack(v_attns, axis=1),
+            "audio_sampling_locations_dec": jnp.stack(a_locs, axis=1),
+            "audio_attn_weights_dec": jnp.stack(a_attns, axis=1),
+            "mask_flatten": v_in["mask_flatten"],
+        }
+        if self.rho:
+            out["backbone_mask_prediction"] = v_in["backbone_mask_prediction"]
+            out["backbone_topk_proposals"] = v_in["backbone_topk_proposals"]
+            out["sparse_token_nums"] = v_in["sparse_token_nums"]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# multimodal caption decoder
+# ---------------------------------------------------------------------------
+
+class MultimodalCaptionDecoderLayer(nn.Module):
+    """Self-attn + dual cross-attn + concat bridge + MLP (post-norm), the
+    repaired reference layer (layers.py:648-823)."""
+
+    d_model: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    attention_dropout: float = 0.0
+    projection_dropout: float = 0.0
+    bridge_dropout: float = 0.0
+    mlp_dropout_1: float = 0.0
+    mlp_dropout_2: float = 0.0
+
+    def setup(self):
+        self.self_attention = CrossAttention(
+            self.d_model, self.num_heads, self.qkv_bias, self.attention_dropout
+        )
+        self.video_cross_attention = CrossAttention(
+            self.d_model, self.num_heads, self.qkv_bias, self.attention_dropout
+        )
+        self.audio_cross_attention = CrossAttention(
+            self.d_model, self.num_heads, self.qkv_bias, self.attention_dropout
+        )
+        self.drop_1 = nn.Dropout(self.projection_dropout)
+        self.drop_2 = nn.Dropout(self.projection_dropout)
+        self.drop_3 = nn.Dropout(self.projection_dropout)
+        self.linear_layer = nn.Dense(self.d_model)
+        self.bridge_drop = nn.Dropout(self.bridge_dropout)
+        self.layer_norm_1 = nn.LayerNorm(epsilon=1e-6)
+        self.layer_norm_2 = nn.LayerNorm(epsilon=1e-6)
+        self.layer_norm_3 = nn.LayerNorm(epsilon=1e-6)
+        self.layer_norm_4 = nn.LayerNorm(epsilon=1e-6)
+        self.mlp = MLP(
+            int(self.d_model * self.mlp_ratio), self.d_model,
+            self.mlp_dropout_1, self.mlp_dropout_2,
+        )
+
+    def __call__(
+        self, target, video_memory, audio_memory,
+        tgt_mask=None, tgt_padding_mask=None,
+        video_memory_padding_mask=None, audio_memory_padding_mask=None,
+        deterministic: bool = True,
+    ):
+        x = target
+        sa = self.self_attention(
+            x, x, x, attn_mask=tgt_mask, key_padding_mask=tgt_padding_mask,
+            deterministic=deterministic,
+        )
+        x = self.layer_norm_1(x + self.drop_1(sa, deterministic=deterministic))
+
+        cav = self.video_cross_attention(
+            x, video_memory, video_memory,
+            key_padding_mask=video_memory_padding_mask, deterministic=deterministic,
+        )
+        vid_x = self.layer_norm_2(x + self.drop_2(cav, deterministic=deterministic))
+        caa = self.audio_cross_attention(
+            x, audio_memory, audio_memory,
+            key_padding_mask=audio_memory_padding_mask, deterministic=deterministic,
+        )
+        aud_x = self.layer_norm_2(x + self.drop_3(caa, deterministic=deterministic))
+
+        x = jnp.concatenate([vid_x, aud_x], axis=-1)
+        x = self.linear_layer(x)
+        x = self.bridge_drop(x, deterministic=deterministic)
+        x = self.layer_norm_3(x)
+        x = nn.gelu(x, approximate=False)
+
+        x = self.layer_norm_4(x + self.mlp(x, deterministic=deterministic))
+        return x
+
+
+class MultimodalCaptionDecoder(nn.Module):
+    vocab_size: int
+    seq_len: int = 20
+    d_model: int = 512
+    depth: int = 6
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    positional_embedding_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    projection_dropout: float = 0.0
+    bridge_dropout: float = 0.0
+    mlp_dropout_1: float = 0.0
+    mlp_dropout_2: float = 0.0
+    return_intermediate: bool = True
+    pretrained_matrix: Optional[np.ndarray] = None
+
+    def setup(self):
+        self.target_embedding = VocabularyEmbedder(
+            self.vocab_size, self.d_model, self.pretrained_matrix
+        )
+        self.pos_table = caption_positional_encoding(self.d_model)
+        self.pos_dropout = nn.Dropout(self.positional_embedding_dropout)
+        self.decoder = [
+            MultimodalCaptionDecoderLayer(
+                d_model=self.d_model, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                attention_dropout=self.attention_dropout,
+                projection_dropout=self.projection_dropout,
+                bridge_dropout=self.bridge_dropout,
+                mlp_dropout_1=self.mlp_dropout_1,
+                mlp_dropout_2=self.mlp_dropout_2,
+            )
+            for _ in range(self.depth)
+        ]
+        self.head = nn.Dense(self.vocab_size)
+
+    def __call__(
+        self, tgt, video_memory, audio_memory,
+        tgt_mask=None, tgt_padding_mask=None,
+        video_memory_padding_mask=None, audio_memory_padding_mask=None,
+        deterministic: bool = True,
+    ):
+        x = self.target_embedding(tgt)
+        x = x + self.pos_table[:, : x.shape[1], :]
+        x = self.pos_dropout(x, deterministic=deterministic)
+        if tgt_mask is not None and tgt_mask.ndim == 2:
+            tgt_mask = tgt_mask[None, None]
+        intermediate = []
+        for layer in self.decoder:
+            x = layer(
+                x, video_memory, audio_memory, tgt_mask, tgt_padding_mask,
+                video_memory_padding_mask, audio_memory_padding_mask,
+                deterministic,
+            )
+            if self.return_intermediate:
+                intermediate.append(x)
+        stacked = jnp.stack(intermediate) if self.return_intermediate else x[None]
+        return nn.log_softmax(self.head(stacked), axis=-1)
+
+
+def multimodal_greedy_decode(
+    module, params, video_memory, video_mask, audio_memory, audio_mask,
+    seq_len, bos_idx, eos_idx, pad_idx,
+):
+    """Greedy decode via full re-run per step inside lax.scan (multimodal
+    path; KV-cached variant mirrors the unimodal one and lands with the
+    incremental multimodal layer)."""
+    N = video_memory.shape[0]
+    captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32).at[:, 0].set(bos_idx)
+    done = jnp.zeros((N,), dtype=bool)
+    causal = make_causal_mask(seq_len)
+
+    def step_fn(carry, t):
+        captions, done = carry
+        out = module.apply(
+            params, captions, video_memory, audio_memory,
+            causal, captions == pad_idx, video_mask, audio_mask,
+        )
+        pred = jnp.argmax(out[-1], axis=-1)  # (N, seq_len)
+        tok = jnp.take_along_axis(pred, t[None, None].repeat(N, 0), axis=1)[:, 0]
+        tok = jnp.where(done, pad_idx, tok).astype(jnp.int32)
+        captions = captions.at[:, t].set(tok)
+        done = done | (tok == eos_idx)
+        return (captions, done), None
+
+    (captions, done), _ = jax.lax.scan(
+        step_fn, (captions, done), jnp.arange(1, seq_len)
+    )
+    has_eos = jnp.any(captions == eos_idx, axis=1)
+    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    return jnp.concatenate([captions, last[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+class MultimodalDVC:
+    """Functional orchestrator for the video+audio family (multimodal analog
+    of UnimodalDVC; reference models/sparse/multimodal_sparse_dvc.py intent)."""
+
+    def __init__(
+        self, cfg, vocab_size: int, pad_idx: int, bos_idx: int, eos_idx: int,
+        embedding_matrix: Optional[np.ndarray] = None,
+    ):
+        dvc = cfg.dvc
+        det = dvc.detr
+        anet = cfg.dataset.activity_net
+        self.cfg = cfg
+        self.pad_idx, self.bos_idx, self.eos_idx = pad_idx, bos_idx, eos_idx
+        self.max_gt = anet.max_gt_target_segments
+        self.seq_len = anet.max_caption_len_all
+        self.video_rescale_len = det.video_rescale_len
+        self.audio_rescale_len = anet.audio_rescale_len
+        self.num_feature_levels = det.num_feature_levels
+        self.aux_loss = dvc.aux_loss
+        self.use_differentiable_mask = cfg.use_differentiable_mask
+        self.cost_segment = float(dvc.matcher.cost_segment)
+        self.cost_giou = float(dvc.matcher.cost_giou)
+        self.num_queries = dvc.num_queries
+
+        self.video_shapes = pyramid_shapes(det.video_rescale_len, det.num_feature_levels)
+        self.audio_shapes = pyramid_shapes(anet.audio_rescale_len, det.num_feature_levels)
+        self.num_tokens_video = int(sum(self.video_shapes))
+        self.num_tokens_audio = int(sum(self.audio_shapes))
+
+        self.proposal_net = MultimodalProposalNet(
+            d_model=dvc.d_model,
+            num_queries=dvc.num_queries,
+            num_feature_levels=det.num_feature_levels,
+            num_heads=det.num_heads,
+            enc_layers=det.enc_layers,
+            dec_layers=det.dec_layers,
+            ff_dim=det.transformer_ff_dim,
+            dropout=det.transformer_dropout_prob,
+            enc_n_points=det.enc_n_points,
+            dec_n_points=det.dec_n_points,
+            rho=det.rho if dvc.use_sparse_detr else 0.0,
+            max_eseq_length=dvc.max_eseq_length,
+            video_rescale_len=det.video_rescale_len,
+            audio_rescale_len=anet.audio_rescale_len,
+            msda_backend=cfg.msda_backend,
+        )
+        cap = dvc.caption
+        self.caption_decoder = MultimodalCaptionDecoder(
+            vocab_size=vocab_size, seq_len=self.seq_len, d_model=cap.d_model,
+            depth=cap.depth, num_heads=cap.num_heads,
+            mlp_ratio=float(cap.mlp_ratio), qkv_bias=cap.qkv_bias,
+            positional_embedding_dropout=cap.positional_embedding_dropout,
+            attention_dropout=cap.attention_dropout,
+            projection_dropout=cap.projection_dropout,
+            bridge_dropout=cap.bridge_dropout,
+            mlp_dropout_1=cap.mlp_dropout_1, mlp_dropout_2=cap.mlp_dropout_2,
+            return_intermediate=cap.return_intermediate,
+            pretrained_matrix=embedding_matrix,
+        )
+        if self.use_differentiable_mask:
+            self.video_context_mask_model = ContextMaskModel(self.num_tokens_video)
+            self.audio_context_mask_model = ContextMaskModel(self.num_tokens_audio)
+
+    def init(self, rng, batch) -> Dict:
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        params = {}
+        params["proposal"] = jax.jit(self.proposal_net.init)(
+            r1, batch["video_tensor"], batch["video_mask"],
+            batch["audio_tensor"], batch["audio_mask"], batch["durations"],
+        )
+        B = batch["video_tensor"].shape[0]
+        N = B * self.max_gt
+        D = self.cfg.dvc.d_model
+        tok = jnp.zeros((N, self.seq_len - 1), dtype=jnp.int32)
+        vmem = jnp.zeros((N, self.num_tokens_video, D))
+        amem = jnp.zeros((N, self.num_tokens_audio, D))
+        params["caption"] = jax.jit(self.caption_decoder.init)(r2, tok, vmem, amem)
+        if self.use_differentiable_mask:
+            dummy = jnp.zeros((N, 2 + D))
+            params["video_context_mask"] = jax.jit(self.video_context_mask_model.init)(r3, dummy)
+            params["audio_context_mask"] = jax.jit(self.audio_context_mask_model.init)(r4, dummy)
+        return params
+
+    def _propose_and_match(self, params, batch, deterministic, rngs=None):
+        out = self.proposal_net.apply(
+            params["proposal"],
+            batch["video_tensor"], batch["video_mask"],
+            batch["audio_tensor"], batch["audio_mask"], batch["durations"],
+            deterministic, rngs=rngs,
+        )
+        indices = hungarian_match(
+            out["pred_segments"], batch["gt_segments"], batch["gt_mask"],
+            self.cost_segment, self.cost_giou,
+        )
+        indices_aux = None
+        if self.aux_loss:
+            aux_seg = out["outputs_segment_all"][:-1]
+            Lm1, B = aux_seg.shape[0], aux_seg.shape[1]
+            flat = aux_seg.reshape(Lm1 * B, self.num_queries, 2)
+            indices_aux = hungarian_match(
+                flat, jnp.tile(batch["gt_segments"], (Lm1, 1, 1)),
+                jnp.tile(batch["gt_mask"], (Lm1, 1)),
+                self.cost_segment, self.cost_giou,
+            ).reshape(Lm1, B, self.max_gt)
+        return out, indices, indices_aux
+
+    def _prepare_caption_inputs(self, params, out, batch, indices):
+        B, G = indices.shape
+        rows = jnp.arange(B)[:, None]
+        matched = out["pred_segments"][rows, indices]
+        denorm = denormalize_segments(matched, batch["durations"][:, None])
+
+        v_crop, v_mask = crop_segments(
+            out["video_memory"], denorm, batch["durations"],
+            self.video_rescale_len, self.num_feature_levels,
+        )
+        a_crop, a_mask = crop_segments(
+            out["audio_memory"], denorm, batch["durations"],
+            self.audio_rescale_len, self.num_feature_levels,
+        )
+        N = B * G
+        v_crop = v_crop.reshape(N, -1, v_crop.shape[-1])
+        a_crop = a_crop.reshape(N, -1, a_crop.shape[-1])
+        v_mask = v_mask.reshape(N, -1)
+        a_mask = a_mask.reshape(N, -1)
+
+        v_pred = a_pred = None
+        v_cap_mask, a_cap_mask = v_mask, a_mask
+        if self.use_differentiable_mask:
+            qf = out["query_features"][-1][rows, indices].reshape(N, -1)
+            cm_in = jnp.concatenate([denorm.reshape(N, 2), qf], axis=1)
+            v_pred = self.video_context_mask_model.apply(params["video_context_mask"], cm_in)
+            a_pred = self.audio_context_mask_model.apply(params["audio_context_mask"], cm_in)
+            v_cap_mask = nn.sigmoid(v_pred) > 0.5
+            a_cap_mask = nn.sigmoid(a_pred) > 0.5
+        return (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred)
+
+    def _aux_outputs(self, out, outputs_caption):
+        aux = [
+            {"pred_segments": out["outputs_segment_all"][i],
+             "pred_count": out["outputs_count_all"][i]}
+            for i in range(out["outputs_segment_all"].shape[0] - 1)
+        ]
+        aux_cap = [
+            {"pred_captions": outputs_caption[i]}
+            for i in range(outputs_caption.shape[0] - 1)
+        ]
+        return aux, aux_cap
+
+    def forward_train(self, params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        out, indices, indices_aux = self._propose_and_match(params, batch, False, rngs)
+        (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred) = (
+            self._prepare_caption_inputs(params, out, batch, indices)
+        )
+        if v_pred is not None:
+            out["video_pred_memory_mask"] = v_pred
+            out["audio_pred_memory_mask"] = a_pred
+
+        cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
+        tgt = cap_tokens[:, :-1]
+        outputs_caption = self.caption_decoder.apply(
+            params["caption"], tgt, v_crop, a_crop,
+            make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
+            v_cap_mask, a_cap_mask, deterministic=False, rngs=rngs,
+        )
+        out["pred_captions"] = outputs_caption[-1]
+        if self.aux_loss:
+            out["aux_outputs"], out["aux_outputs_caption"] = self._aux_outputs(out, outputs_caption)
+        memory_mask = (v_mask.astype(jnp.float32), a_mask.astype(jnp.float32))
+        return out, indices, indices_aux, memory_mask
+
+    def forward_eval(self, params, batch, val_mode: str = "one_by_one"):
+        out, indices, indices_aux = self._propose_and_match(params, batch, True)
+        (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred) = (
+            self._prepare_caption_inputs(params, out, batch, indices)
+        )
+        if v_pred is not None:
+            out["video_pred_memory_mask"] = v_pred
+            out["audio_pred_memory_mask"] = a_pred
+
+        cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
+        tgt = cap_tokens[:, :-1]
+        outputs_caption = self.caption_decoder.apply(
+            params["caption"], tgt, v_crop, a_crop,
+            make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
+            v_cap_mask, a_cap_mask,
+        )
+        if val_mode == "one_by_one":
+            captions_with_eos = multimodal_greedy_decode(
+                self.caption_decoder, params["caption"],
+                v_crop, v_cap_mask, a_crop, a_cap_mask,
+                self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+            )
+        elif val_mode == "teacher_forcing":
+            captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)
+        else:
+            raise ValueError(f"bad val_mode {val_mode!r}")
+
+        out["pred_captions"] = outputs_caption[-1]
+        if self.aux_loss:
+            out["aux_outputs"], out["aux_outputs_caption"] = self._aux_outputs(out, outputs_caption)
+        memory_mask = (v_mask.astype(jnp.float32), a_mask.astype(jnp.float32))
+        return out, captions_with_eos, indices, indices_aux, memory_mask
+
+
+def build_multimodal_model(cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3, embedding_matrix=None):
+    return MultimodalDVC(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)

@@ -1,0 +1,80 @@
+"""Multimodal (video+audio) family: train forward + criterion + eval under jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_model_forward import PAD, BOS, EOS, VOCAB, small_cfg, synthetic_batch
+from multimodal_feature_learning_tpu.models.criterion import SetCriterion, build_weight_dict
+from multimodal_feature_learning_tpu.models.multimodal import build_multimodal_model
+
+
+def mm_cfg():
+    cfg = small_cfg()
+    cfg.dvc.input_modalities = ["video", "audio"]
+    cfg.dataset.activity_net.audio_rescale_len = 12
+    return cfg
+
+
+def mm_batch(cfg, B=2):
+    batch = synthetic_batch(cfg, B=B)
+    rng = np.random.default_rng(7)
+    Ta = cfg.dataset.activity_net.audio_rescale_len
+    Dv = cfg.dvc.detr.feature_dim
+    batch["audio_tensor"] = jnp.asarray(
+        rng.normal(size=(B, Ta, Dv)).astype(np.float32)
+    )
+    am = np.zeros((B, Ta), dtype=bool)
+    am[1, Ta - 3 :] = True
+    batch["audio_mask"] = jnp.asarray(am)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mm_cfg()
+    model = build_multimodal_model(cfg, VOCAB, PAD, BOS, EOS)
+    batch = mm_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return cfg, model, batch, params
+
+
+def test_mm_train_forward_and_criterion(setup):
+    cfg, model, batch, params = setup
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions", "contexts", "mask_prediction"],
+        pad_idx=PAD, smoothing=cfg.dvc.smoothing,
+    )
+
+    def loss_fn(params, batch, rng):
+        out, indices, indices_aux, memory_mask = model.forward_train(params, batch, rng)
+        losses = criterion(out, batch, indices, indices_aux, memory_mask)
+        total = sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)
+        return total, losses
+
+    (total, losses), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(np.asarray(total)), {k: float(v) for k, v in losses.items()}
+    for key in ("loss_counter", "loss_bbox", "loss_giou", "loss_caption",
+                "loss_context", "loss_mask_prediction"):
+        assert key in losses and np.isfinite(np.asarray(losses[key])), key
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_mm_eval_greedy(setup):
+    cfg, model, batch, params = setup
+    out, captions, indices, _, _ = jax.jit(
+        lambda p, b: model.forward_eval(p, b, "one_by_one")
+    )(params, batch)
+    B = batch["video_tensor"].shape[0]
+    G = cfg.dataset.activity_net.max_gt_target_segments
+    Lc = cfg.dataset.activity_net.max_caption_len_all
+    assert captions.shape == (B * G, Lc + 1)
+    caps = np.asarray(captions)
+    assert (caps[:, 0] == BOS).all()
+    assert ((caps == EOS).sum(1) >= 1).all()

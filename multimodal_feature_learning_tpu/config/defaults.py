@@ -145,6 +145,29 @@ def load_config_train() -> ml_collections.ConfigDict:
     cap.glove_file_path = ""
     cap.embedding_matrix_file_path = "embedding_matrix.pkl"
 
+    # regular (non-deformable) decoder + ViViT/AST backbones
+    dec = dvc.decoder = ml_collections.ConfigDict()
+    dec.d_model = dvc.d_model
+    dec.depth = 6
+    dec.num_heads = 8
+    dec.mlp_ratio = 4
+    dec.qkv_bias = True
+
+    viv = dvc.vivit = ml_collections.ConfigDict()
+    viv.model_name = "factorised encoder"
+    viv.depth = 12
+    viv.temporal_depth = 4
+    viv.num_heads = 12
+    viv.spatial_patch_size = 16
+    viv.temporal_patch_size = 1
+
+    ast = dvc.ast = ml_collections.ConfigDict()
+    ast.depth = 12
+    ast.num_heads = 12
+    ast.patch_size = 16
+    ast.frequency_stride = 10
+    ast.time_stride = 10
+
     # eval
     ev = cfg.eval = ml_collections.ConfigDict()
     ev.tious = [0.3, 0.5, 0.7, 0.9]

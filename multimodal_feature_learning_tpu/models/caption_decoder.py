@@ -197,3 +197,100 @@ def greedy_decode(
     has_eos = jnp.any(captions == eos_idx, axis=1)
     last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
     return jnp.concatenate([captions, last[:, None]], axis=1)
+
+
+def beam_search_decode(
+    module: UnimodalCaptionDecoder,
+    params,
+    memory: jnp.ndarray,          # (N, S, D)
+    memory_padding_mask,          # (N, S) True=pad
+    seq_len: int,
+    bos_idx: int,
+    eos_idx: int,
+    pad_idx: int,
+    beam_size: int = 4,
+    length_penalty: float = 0.0,
+):
+    """Batched beam search with per-layer KV caches, fully inside jit.
+
+    The reference has no beam search (greedy only); this is the TPU-native
+    extension called out by the driver's config #5 ("beam-search decode").
+    Candidate expansion is a single top-k over (beam * vocab) per sample, and
+    beam reordering is a cache gather — no host control flow.
+
+    Returns (N, seq_len + 1) captions of the best beam, same tail convention
+    as greedy_decode.
+    """
+    N, S, D = memory.shape
+    depth, K = module.depth, beam_size
+    NEG = jnp.float32(-1e9)
+
+    # expand memory to beams: (N*K, S, D)
+    mem = jnp.repeat(memory, K, axis=0)
+    mem_mask = jnp.repeat(memory_padding_mask, K, axis=0)
+    mem_kv = module.apply(params, mem, method=UnimodalCaptionDecoder.precompute_memory_kv)
+
+    tokens = jnp.full((N, K, seq_len), pad_idx, dtype=jnp.int32).at[:, :, 0].set(bos_idx)
+    # only beam 0 live at the start so the first expansion diversifies
+    scores = jnp.where(jnp.arange(K)[None] == 0, 0.0, NEG) * jnp.ones((N, 1))
+    done = jnp.zeros((N, K), dtype=bool)
+    k_caches = jnp.zeros((depth, N * K, seq_len, D), dtype=memory.dtype)
+    v_caches = jnp.zeros((depth, N * K, seq_len, D), dtype=memory.dtype)
+
+    def step_fn(carry, t):
+        tokens, scores, done, k_caches, v_caches = carry
+        flat_prev = tokens[:, :, :].reshape(N * K, seq_len)
+        prev_tok = jnp.take_along_axis(
+            flat_prev, (t - 1)[None, None].repeat(N * K, 0), axis=1
+        )[:, 0]
+        # commit previous token into the caches
+        _, k_caches, v_caches = module.apply(
+            params, prev_tok, t - 1, t, k_caches, v_caches, mem_kv, mem_mask, True,
+            method=UnimodalCaptionDecoder.decode_step,
+        )
+        # predict position t
+        pad_tok = jnp.full((N * K,), pad_idx, dtype=jnp.int32)
+        logits, _, _ = module.apply(
+            params, pad_tok, t, t, k_caches, v_caches, mem_kv, mem_mask, False,
+            method=UnimodalCaptionDecoder.decode_step,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, -1)  # (N, K, V)
+        V = logp.shape[-1]
+        # finished beams only extend with <pad> at zero cost
+        pad_only = jnp.full((V,), NEG).at[pad_idx].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None], logp)
+
+        cand = (scores[..., None] + logp).reshape(N, K * V)
+        new_scores, idx = jax.lax.top_k(cand, K)  # (N, K)
+        parent = idx // V  # (N, K)
+        new_tok = (idx % V).astype(jnp.int32)
+
+        # reorder everything by parent beam
+        rowsN = jnp.arange(N)[:, None]
+        tokens = tokens[rowsN, parent]  # (N, K, T)
+        done = done[rowsN, parent]
+        flat_parent = (rowsN * K + parent).reshape(-1)  # (N*K,)
+        k_caches = k_caches[:, flat_parent]
+        v_caches = v_caches[:, flat_parent]
+
+        new_tok = jnp.where(done, pad_idx, new_tok)
+        tokens = tokens.at[:, :, t].set(new_tok)
+        done = done | (new_tok == eos_idx)
+        return (tokens, new_scores, done, k_caches, v_caches), None
+
+    (tokens, scores, done, _, _), _ = jax.lax.scan(
+        step_fn, (tokens, scores, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    )
+
+    if length_penalty:
+        lengths = jnp.sum(tokens != pad_idx, axis=-1).astype(jnp.float32)
+        norm = ((5.0 + lengths) / 6.0) ** length_penalty
+        ranked = scores / norm
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked, axis=1)  # (N,)
+    captions = tokens[jnp.arange(N), best]  # (N, seq_len)
+
+    has_eos = jnp.any(captions == eos_idx, axis=1)
+    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    return jnp.concatenate([captions, last[:, None]], axis=1)

@@ -48,7 +48,8 @@ class BaseEncoder(nn.Module):
         pos_embed = PositionEmbeddingVideoSine(
             self.d_model // 2, normalize=True, name="pos_embed"
         )
-        gn = lambda name: nn.GroupNorm(num_groups=32, name=name)
+        # epsilon matches torch GroupNorm default (reference base_encoder.py:31)
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
 
         srcs, masks, poses = [], [], []
 

@@ -1,0 +1,104 @@
+"""Criterion parity vs the reference formulas computed with torch.
+
+Each test re-runs the exact reference loss computation (criterion.py) through
+public torch ops on the same random inputs and compares to our jnp criterion.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from multimodal_feature_learning_tpu.models.criterion import (
+    COUNTER_CLASS_RATE,
+    cross_entropy_with_gaussian_mask,
+    label_smoothing_kl,
+    multilabel_soft_margin_loss,
+    _bce_with_logits,
+)
+
+
+def test_counter_loss_matches_torch():
+    """cross_entropy_with_gaussian_mask vs reference criterion.py:581-601."""
+    rng = np.random.default_rng(0)
+    B, C = 6, 11
+    inputs = rng.normal(size=(B, C)).astype(np.float32)
+    tgt_idx = rng.integers(0, C, size=B)
+    onehot = np.zeros((B, C), dtype=np.float32)
+    onehot[np.arange(B), tgt_idx] = 1
+    weight = np.asarray(COUNTER_CLASS_RATE[:C], dtype=np.float32)
+
+    # torch reference formula
+    ti, tt = torch.from_numpy(inputs), torch.from_numpy(onehot)
+    mu = torch.arange(C).unsqueeze(0).expand(C, C).float()
+    x = mu.transpose(0, 1)
+    mask_dict = torch.exp(-((x - mu) ** 2) / (2 * 2**2))
+    _, ind = tt.max(dim=1)
+    mask = mask_dict[ind]
+    loss = F.binary_cross_entropy_with_logits(
+        ti, tt, reduction="none", weight=1 - torch.from_numpy(weight)
+    )
+    coef = tt + ((1 - mask) ** 1.0) * (1 - tt)
+    expected = (loss * coef).mean(1).mean().item()
+
+    got = float(
+        cross_entropy_with_gaussian_mask(
+            jnp.asarray(inputs), jnp.asarray(onehot), jnp.asarray(weight), 1, 1.0
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_label_smoothing_kl_matches_torch():
+    """label_smoothing_kl vs reference LabelSmoothing (criterion.py:545-575):
+    dist built by scatter, pad zeroed, pad-target rows dropped, kl_div sum."""
+    rng = np.random.default_rng(1)
+    N, S, V = 5, 7, 23
+    PAD = 1
+    smoothing = 0.5
+    logits = rng.normal(size=(N, S, V)).astype(np.float32)
+    target = rng.integers(0, V, size=(N, S))
+    target[0, 4:] = PAD
+    target[3, :] = PAD  # fully padded row
+
+    log_pred = np.asarray(jnp.asarray(logits) - jnp.log(jnp.sum(jnp.exp(logits), -1, keepdims=True)))
+
+    # torch reference: pred are probabilities; LabelSmoothing does pred.log()
+    pred = torch.softmax(torch.from_numpy(logits), dim=-1)
+    tt = torch.from_numpy(target)
+    p = pred.contiguous().view(-1, V)
+    t = tt.contiguous().view(-1)
+    dist = smoothing * torch.ones_like(p) / (V - 2)
+    dist.scatter_(1, t.unsqueeze(-1).long(), 1 - smoothing)
+    dist[:, PAD] = 0
+    mask = torch.nonzero(t == PAD)
+    if mask.sum() > 0 and len(mask) > 0:
+        dist.index_fill_(0, mask.squeeze(), 0)
+    expected = F.kl_div(p.log(), dist, reduction="sum").item()
+
+    got = float(
+        label_smoothing_kl(jnp.asarray(log_pred), jnp.asarray(target), PAD, smoothing)
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-4)
+
+
+def test_multilabel_soft_margin_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 13)).astype(np.float32)
+    y = (rng.uniform(size=(4, 13)) > 0.6).astype(np.float32)
+    expected = F.multilabel_soft_margin_loss(
+        torch.from_numpy(x), torch.from_numpy(y)
+    ).item()
+    got = float(multilabel_soft_margin_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_bce_with_logits_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(5, 9)).astype(np.float32) * 5
+    y = (rng.uniform(size=(5, 9)) > 0.5).astype(np.float32)
+    expected = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(y), reduction="none"
+    ).numpy()
+    got = np.asarray(_bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)

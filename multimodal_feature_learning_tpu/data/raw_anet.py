@@ -1,0 +1,144 @@
+"""Raw video(+audio) ActivityNet dataset.
+
+Behavioral spec: reference ``dataset/anet_with_raw_video.py`` /
+``anet_with_raw_video_audio.py`` — decode the clip, temporally resample to
+``video_rescale_len`` frames, resize/crop/normalize, compute the Kaldi
+log-mel fbank from the waveform, drop clips with empty audio; same GT/caption
+processing as the feature dataset.
+
+TPU-native split of responsibilities: the host side only DECODES (a pluggable
+``decoder`` callable; torchvision.io is absent from this image, so any
+pyav/opencv/npz-backed callable works and a synthetic decoder is provided for
+tests).  Resize/normalize/fbank run as jnp transforms that jit into the model
+program (`data/video_transforms.py`, `data/audio.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .anet import ActivityNetDataset, FeatureBackend
+from .audio import aframes_to_fbank
+from .video_transforms import preprocess_clip, temporal_resample_nearest
+
+
+def synthetic_decoder(frame_size: int = 128, fps: float = 4.0, sample_rate: int = 16000):
+    """Deterministic fake decoder: (key, duration) -> (frames uint8 (T,H,W,3),
+    waveform float32, sample_rate). Stands in for torchvision.io.read_video."""
+
+    def decode(key: str, duration: float):
+        rng = np.random.default_rng(abs(hash(key)) % (2**32))
+        t = max(int(duration * fps), 2)
+        frames = rng.integers(0, 255, size=(t, frame_size, frame_size, 3)).astype(np.uint8)
+        wave = rng.normal(size=int(duration * sample_rate)).astype(np.float32) * 0.1
+        return frames, wave, sample_rate
+
+    return decode
+
+
+class RawActivityNetDataset(ActivityNetDataset):
+    """Same annotation/caption handling as the feature dataset; emits raw
+    frames + waveform instead of precomputed features."""
+
+    def __init__(
+        self,
+        annotation_file: str,
+        decoder: Callable,
+        vocab,
+        is_training: bool,
+        video_rescale_len: int = 300,
+        num_mel_bins: int = 128,
+        audio_target_length: int = 64,
+        with_audio: bool = True,
+        **kwargs,
+    ):
+        super().__init__(
+            annotation_file,
+            FeatureBackend("", feature_dim=1),  # unused; keys come from decoder
+            vocab,
+            is_training,
+            **kwargs,
+        )
+        self.decoder = decoder
+        self.video_rescale_len = video_rescale_len
+        self.num_mel_bins = num_mel_bins
+        self.audio_target_length = audio_target_length
+        self.with_audio = with_audio
+
+    def __getitem__(self, idx: int) -> Optional[Dict]:
+        base = super().__getitem__(idx)
+        if base is None:
+            return None
+        key = base["key"]
+        frames, wave, sr = self.decoder(key, base["duration"])
+        if self.with_audio and (wave is None or len(wave) == 0):
+            return None  # reference drops clips with empty audio (:248-258)
+
+        frames = np.asarray(temporal_resample_nearest(frames, self.video_rescale_len))
+        sample = dict(base)
+        del sample["video_feature"]
+        sample["raw_frames"] = frames  # (T, H, W, 3) uint8, preprocessed on device
+        if self.with_audio:
+            fb = aframes_to_fbank(
+                np.asarray(wave), float(sr), self.num_mel_bins, self.audio_target_length
+            )
+            sample["audio_feature"] = np.asarray(fb)  # (target_len, mel)
+        return sample
+
+
+def collate_raw(
+    samples: List[Optional[Dict]],
+    pad_idx: int,
+    max_gt: int = 10,
+    max_caption_len: int = 20,
+    train: bool = False,
+) -> Optional[Dict]:
+    """Fixed-shape raw batch: frames (B, T, H, W, 3) uint8 + fbank
+    (B, La, mel) + the standard GT/caption grid.  Frame normalization happens
+    in-model (jitted) via `preprocess_clip`."""
+    samples = [s for s in samples if s is not None]
+    if not samples:
+        return None
+    B = len(samples)
+    frames = np.stack([s["raw_frames"] for s in samples])  # (B, T, H, W, 3)
+    T = frames.shape[1]
+    mask = np.zeros((B, T), dtype=bool)  # temporal resample leaves no padding
+
+    durations = np.array([s["duration"] for s in samples], dtype=np.float32)
+    gt_segments = np.zeros((B, max_gt, 2), dtype=np.float32)
+    gt_mask = np.zeros((B, max_gt), dtype=bool)
+    cap_tokens = np.full((B, max_gt, max_caption_len), pad_idx, dtype=np.int32)
+    keys, raw_captions, gt_timestamps = [], [], []
+    for i, s in enumerate(samples):
+        n = len(s["gt_timestamps"])
+        for j, ts in enumerate(s["gt_timestamps"]):
+            gt_segments[i, j] = (
+                (ts[1] + ts[0]) / (2 * s["duration"]),
+                (ts[1] - ts[0]) / s["duration"],
+            )
+        gt_mask[i, :n] = True
+        for j, ids in enumerate(s["caption_tokens"]):
+            cap_tokens[i, j, : len(ids)] = ids
+        keys.append(s["key"])
+        raw_captions.append(s["raw_captions"])
+        gt_timestamps.append(s["gt_timestamps"])
+
+    out = {
+        "video_tensor": frames,  # raw uint8; model applies preprocess_clip
+        "video_mask": mask,
+        "durations": durations,
+        "batch_valid": np.ones((B,), dtype=bool),
+        "gt_segments": gt_segments,
+        "gt_mask": gt_mask,
+        "gt_labels": np.zeros((B, max_gt), dtype=np.int32),
+        "cap_tokens": cap_tokens,
+        "keys": keys,
+        "raw_captions": raw_captions,
+        "gt_timestamps": gt_timestamps,
+    }
+    if "audio_feature" in samples[0]:
+        out["audio_tensor"] = np.stack([s["audio_feature"] for s in samples])
+        out["audio_mask"] = np.zeros(out["audio_tensor"].shape[:2], dtype=bool)
+    return out

@@ -158,6 +158,8 @@ def collate_fixed(
       gt_labels (B, G) i32 | cap_tokens (B, G, Lc) i32
     plus host-side metadata lists: keys, raw_captions, gt_timestamps.
     """
+    from .. import native
+
     samples = [s for s in samples if s is not None]
     if not samples:
         return None
@@ -193,9 +195,14 @@ def collate_fixed(
         raw_captions.append(s["raw_captions"])
         gt_timestamps.append(s["gt_timestamps"])
 
-    # reference order: pad to batch max, then nearest-rescale tensor AND mask
-    video = nearest_resize(video, video_rescale_len, axis=1)
-    mask = nearest_resize(mask, video_rescale_len, axis=1)
+    # reference order: pad to batch max, then nearest-rescale tensor AND mask.
+    # native C++ path fuses pad+resize+mask for the threaded collate hot loop.
+    if native.available():
+        video = native.resize_nearest(video, video_rescale_len)
+        mask = native.resize_nearest(mask, video_rescale_len)
+    else:
+        video = nearest_resize(video, video_rescale_len, axis=1)
+        mask = nearest_resize(mask, video_rescale_len, axis=1)
 
     audio = audio_mask = None
     if audio_rescale_len and "audio_feature" in samples[0]:

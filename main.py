@@ -91,11 +91,7 @@ def main():
     )
     from multimodal_feature_learning_tpu.engine.train import make_train_step, train_one_epoch
     from multimodal_feature_learning_tpu.evaluation import run_eval
-    from multimodal_feature_learning_tpu.models.criterion import (
-        SetCriterion,
-        build_weight_dict,
-    )
-    from multimodal_feature_learning_tpu.models.dvc import build_model
+    from multimodal_feature_learning_tpu.models import build_model_and_criterion
     from multimodal_feature_learning_tpu.parallel.mesh import (
         make_mesh,
         maybe_initialize_distributed,
@@ -136,15 +132,8 @@ def main():
     val_loader = mk_loader(val_ds, False)
     print(f"train videos: {len(train_ds)}  val videos: {len(val_ds)}  vocab: {len(vocab)}")
 
-    # model + criterion
-    model = build_model(cfg, len(vocab), vocab.pad_idx, vocab.bos_idx, vocab.eos_idx)
-    weight_dict = build_weight_dict(cfg)
-    criterion = SetCriterion(
-        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
-        losses=list(cfg.dvc.losses), pad_idx=vocab.pad_idx,
-        smoothing=cfg.dvc.smoothing, lloss_gau_mask=cfg.dvc.lloss_gau_mask,
-        lloss_beta=cfg.dvc.lloss_beta,
-    )
+    # model + criterion (family dispatch per config flags)
+    model, criterion, weight_dict = build_model_and_criterion(cfg, vocab)
 
     mesh = make_mesh(cfg.mesh.num_data, cfg.mesh.num_model)
     batch0 = next(iter(train_loader))

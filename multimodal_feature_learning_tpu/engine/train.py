@@ -45,7 +45,12 @@ def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_sche
         metrics["grad_norm"] = optax.global_norm(grads)
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
-        return new_state, metrics
+        # per-leaf grad norms for grad-flow diagnostics (reference plots.py):
+        # a pytree of scalars, negligible output cost inside the jitted step
+        grad_leaf_norms = jax.tree_util.tree_map(
+            lambda g: jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2)), grads
+        )
+        return new_state, metrics, grad_leaf_norms
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -61,15 +66,36 @@ def train_one_epoch(
     rng,
     epoch: int,
     print_freq: int = 10,
+    grad_flow_dir: str = "",
+    grad_flow_freq: int = 100,
 ):
     metric_logger = MetricLogger()
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
 
+    step_in_epoch = 0
     for batch in metric_logger.log_every(loader, print_freq, header):
         arrays, _meta = split_batch(batch)
         arrays = shard_batch(arrays, mesh)
-        state, metrics = train_step(state, arrays, rng)
+        state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
+
+        if grad_flow_dir and step_in_epoch % grad_flow_freq == 0:
+            # grad-flow diagnostics every N batches (reference engine.py:109-129)
+            import json as _json
+            import os as _os
+
+            flat = jax.tree_util.tree_flatten_with_path(grad_leaf_norms)[0]
+            stats = {
+                "/".join(str(getattr(k, "key", k)) for k in path): float(v)
+                for path, v in flat
+            }
+            _os.makedirs(grad_flow_dir, exist_ok=True)
+            with open(
+                _os.path.join(grad_flow_dir, f"grads_e{epoch:03d}_s{step_in_epoch:05d}.json"),
+                "w",
+            ) as f:
+                _json.dump(stats, f)
+        step_in_epoch += 1
 
         loss_value = float(metrics["loss"])
         if not math.isfinite(loss_value):

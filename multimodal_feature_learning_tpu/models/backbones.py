@@ -141,6 +141,71 @@ class FactorisedDotProductAttentionBlock(nn.Module):
         return x
 
 
+class BiModalEncoderLayer(nn.Module):
+    """Video<->audio cross-attention block (regular multimodal family).
+    Reference modules/layers.py:269-385 (whose live code also breaks on the
+    CrossAttention tuple return — another unexercised path, repaired here)."""
+
+    d_model: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    attention_dropout: float = 0.0
+    projection_dropout: float = 0.0
+    mlp_dropout_1: float = 0.0
+    mlp_dropout_2: float = 0.0
+    pre_norm: bool = True
+
+    def setup(self):
+        self.attention_av = CrossAttention(
+            self.d_model, self.num_heads, self.qkv_bias, self.attention_dropout
+        )
+        self.attention_va = CrossAttention(
+            self.d_model, self.num_heads, self.qkv_bias, self.attention_dropout
+        )
+        self.norm_av_1 = nn.LayerNorm(epsilon=1e-6)
+        self.norm_va_1 = nn.LayerNorm(epsilon=1e-6)
+        self.norm_av_2 = nn.LayerNorm(epsilon=1e-6)
+        self.norm_va_2 = nn.LayerNorm(epsilon=1e-6)
+        hidden = int(self.d_model * self.mlp_ratio)
+        self.mlp_av = MLP(hidden, self.d_model, self.mlp_dropout_1, self.mlp_dropout_2)
+        self.mlp_va = MLP(hidden, self.d_model, self.mlp_dropout_1, self.mlp_dropout_2)
+
+    def __call__(self, vid, aud, deterministic: bool = True):
+        if self.pre_norm:
+            v_n, a_n = self.norm_av_1(vid), self.norm_va_1(aud)
+            vid = vid + self.attention_av(v_n, a_n, a_n, deterministic=deterministic)
+            aud = aud + self.attention_va(a_n, v_n, v_n, deterministic=deterministic)
+            vid = vid + self.mlp_av(self.norm_av_2(vid), deterministic=deterministic)
+            aud = aud + self.mlp_va(self.norm_va_2(aud), deterministic=deterministic)
+        else:
+            vid = self.norm_av_1(vid + self.attention_av(vid, aud, aud, deterministic=deterministic))
+            aud = self.norm_va_1(aud + self.attention_va(aud, vid, vid, deterministic=deterministic))
+            vid = self.norm_av_2(vid + self.mlp_av(vid, deterministic=deterministic))
+            aud = self.norm_va_2(aud + self.mlp_va(aud, deterministic=deterministic))
+        return vid, aud
+
+
+class BiModalEncoder(nn.Module):
+    """Stack of BiModalEncoderLayers; reference models/regular/bimodal_encoder.py."""
+
+    d_model: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    pre_norm: bool = True
+
+    @nn.compact
+    def __call__(self, vid, aud, deterministic: bool = True):
+        for i in range(self.depth):
+            vid, aud = BiModalEncoderLayer(
+                self.d_model, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                pre_norm=self.pre_norm, name=f"layer_{i}",
+            )(vid, aud, deterministic)
+        return vid, aud
+
+
 class TokenEmbedding(nn.Module):
     """Tubelet Conv3d embedding (reference embedding_layers.py:31-75):
     (B, T, H, W, C) -> (B, T', P, D) with T' = T/pt, P = (H/ps)*(W/ps)."""

@@ -66,6 +66,44 @@ class PositionEmbeddingVideoSine(nn.Module):
         return pos.transpose(0, 2, 1)  # (B, d_model, T)
 
 
+def caption_sine_embedding(pad_mask: jnp.ndarray, num_pos_feats: int,
+                           temperature: float = 10000.0,
+                           normalize: bool = True) -> jnp.ndarray:
+    """Sine embedding over valid caption positions; reference
+    PositionEmbeddingCaptionSine (embedding_layers.py:267-298).
+    pad_mask (B, T) True=pad -> (B, num_pos_feats, T)."""
+    not_mask = (~pad_mask).astype(jnp.float32)
+    x_embed = jnp.cumsum(not_mask, axis=1)
+    if normalize:
+        eps = 1e-6
+        x_embed = (x_embed - 0.5) / (x_embed[:, -1:] + eps) * (2 * math.pi)
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+    pos_x = x_embed[:, :, None] / dim_t
+    pos_x = jnp.stack(
+        [jnp.sin(pos_x[:, :, 0::2]), jnp.cos(pos_x[:, :, 1::2])], axis=3
+    ).reshape(pos_x.shape[0], pos_x.shape[1], -1)
+    return pos_x.transpose(0, 2, 1)
+
+
+class LearnedPositionalEmbedding(nn.Module):
+    """Learned positional table added to the input (reference
+    embedding_layers.py:126-165) with dropout."""
+
+    max_tokens: int
+    d_model: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        table = self.param(
+            "positional_embedding", nn.initializers.truncated_normal(0.02),
+            (1, self.max_tokens, self.d_model),
+        )
+        x = x + table[:, : x.shape[1]]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
 class VocabularyEmbedder(nn.Module):
     """Token embedding scaled by sqrt(d_model); optional pretrained GloVe init.
 

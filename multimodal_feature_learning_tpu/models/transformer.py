@@ -11,11 +11,10 @@ TPU-native deltas (static shapes for jit):
     the batch max of per-sample counts); per-sample counts still gate the
     scatter-back exactly as in the reference, so extra slots are dead compute,
     not behavior.
-  * ``gen_encoder_output_proposals``: the reference's 1-D port scrambles
-    (center, width) pairs via a flat ``cat(...).view(N, -1, 2)``
-    (unimodal_sparse_deformable_transformer.py:129 — a latent bug inherited
-    from the 2-D code); we build the intended (grid center, level width)
-    pairs. This only feeds the encoder aux-loss bases.
+  * ``gen_encoder_output_proposals`` replicates the reference's scrambled
+    1-D pairing by default (its validity mask gates the saliency-net input;
+    see the function docstring); the intended pairing is available via
+    ``scrambled=False``.
 """
 
 from __future__ import annotations
@@ -55,12 +54,22 @@ def get_encoder_reference_points(temporal_shapes, valid_ratios) -> jnp.ndarray:
     return reference_points[..., None]
 
 
-def gen_encoder_output_proposals(temporal_shapes, memory_padding_mask):
+def gen_encoder_output_proposals(temporal_shapes, memory_padding_mask,
+                                 scrambled: bool = True):
     """Grid (center, width) proposal bases per token + validity.
 
     Returns (proposals_unact (B, S, 2) in logit space with +inf at invalid,
              proposal_valid (B, S) bool).
-    Reference :101-145 (intended pairing; see module docstring).
+
+    ``scrambled=True`` (default) reproduces the reference bit-for-bit: its 1-D
+    port pairs values via a flat ``cat((grid, wh), -1).view(N, -1, 2)``
+    (unimodal_sparse_deformable_transformer.py:129), which interleaves
+    (grid[2i], grid[2i+1]) pairs in the first half and (wh, wh) pairs in the
+    second half of each level.  This matters beyond the enc-aux bases: the
+    per-token validity derived from these pairs gates the memory zeroing that
+    feeds the Sparse-DETR saliency predictor, i.e. it shapes the top-rho token
+    selection of the live path.  ``scrambled=False`` gives the intended
+    (center, width) pairing.
     """
     B = memory_padding_mask.shape[0]
     proposals = []
@@ -72,7 +81,15 @@ def gen_encoder_output_proposals(temporal_shapes, memory_padding_mask):
         grid = jnp.arange(T, dtype=jnp.float32)[None]  # (1, T) == linspace(0,T-1,T)
         grid = (grid + 0.5) / valid_L[:, None]  # (B, T)
         wh = jnp.full_like(grid, 0.05 * (2.0**lvl))
-        proposals.append(jnp.stack([grid, wh], axis=-1))  # (B, T, 2)
+        if scrambled:
+            flat = jnp.concatenate(
+                [jnp.broadcast_to(grid, (B, T)), jnp.broadcast_to(wh, (B, T))], axis=1
+            )  # (B, 2T)
+            proposals.append(flat.reshape(B, T, 2))
+        else:
+            proposals.append(
+                jnp.broadcast_to(jnp.stack([grid, wh], axis=-1), (B, T, 2))
+            )
         cur += T
     output_proposals = jnp.concatenate(proposals, axis=1)  # (B, S, 2)
     valid = jnp.all(
@@ -325,9 +342,8 @@ class SparseDeformableTransformer(nn.Module):
                 self.enc_output(backbone_output_memory)
             )
             saliency = self.enc_mask_predictor(backbone_output_memory)  # (B, S)
-            saliency = jnp.where(
-                mask_flatten, jnp.min(saliency, axis=1, keepdims=True), saliency
-            )
+            # pad area excluded with the GLOBAL min, as the reference (:217)
+            saliency = jnp.where(mask_flatten, jnp.min(saliency), saliency)
             _, topk_idx = jax.lax.top_k(saliency, K)  # (B, K)
             out["backbone_mask_prediction"] = saliency
             out["backbone_topk_proposals"] = topk_idx

@@ -105,11 +105,14 @@ def batched_hungarian(cost: jnp.ndarray, col_valid: jnp.ndarray):
     """
     B, n_rows, n_cols = cost.shape
     assert n_cols <= n_rows
-    # Square-pad the column axis to n_rows. Invalid/padding columns get a
-    # constant cost so they absorb leftover rows without affecting real cols.
-    big = jnp.float32(1e6)
-    padded = jnp.full((B, n_rows, n_rows), big, dtype=jnp.float32)
-    real = jnp.where(col_valid[:, None, :], cost.astype(jnp.float32), big)
+    # Square-pad the column axis to n_rows. Padding/invalid columns carry a
+    # CONSTANT cost: every perfect matching places each such column on exactly
+    # one row, contributing n_pad * c regardless of which rows — so any c
+    # preserves the optimum over real columns. Use 0, not a large value:
+    # a 1e6 pad swamps small real-cost differences in f32 potentials.
+    pad_c = jnp.float32(0.0)
+    padded = jnp.full((B, n_rows, n_rows), pad_c, dtype=jnp.float32)
+    real = jnp.where(col_valid[:, None, :], cost.astype(jnp.float32), pad_c)
     padded = padded.at[:, :, :n_cols].set(real)
     col_to_row = jax.vmap(hungarian)(padded)  # (B, n_rows)
     return col_to_row[:, :n_cols]

@@ -352,3 +352,15 @@ def test_full_forward_teacher_forcing_parity(world):
 
     # argmaxed teacher-forcing captions: exact token match
     np.testing.assert_array_equal(np.asarray(caps), ref_caps.numpy())
+
+
+def test_greedy_decode_parity(world):
+    """one_by_one eval: our KV-cached lax.scan greedy vs the reference's
+    full-recompute word loop — exact token equality on the real model."""
+    cfg, model, params, batch, ref, obj = world
+
+    with torch.no_grad():
+        _, ref_caps, *_ = ref(obj, is_training=False, faster_eval=False,
+                              val_mode="one_by_one")
+    _, caps, *_ = model.forward_eval(params, batch, "one_by_one")
+    np.testing.assert_array_equal(np.asarray(caps), ref_caps.numpy())

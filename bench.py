@@ -19,6 +19,9 @@ import numpy as np
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship_cfg, _synth_batch
     from multimodal_feature_learning_tpu.models.dvc import build_model
 

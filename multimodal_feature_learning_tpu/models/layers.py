@@ -245,6 +245,50 @@ class UnimodalCaptionDecoderLayer(nn.Module):
         """Cross-attn k/v of the (caption-independent) memory, cached once per decode."""
         return self.cross_attention.project_kv(memory, memory)
 
+    def incremental_pair(
+        self,
+        x: jnp.ndarray,          # (N, 2, D): [commit position step, predict position step+1]
+        step: jnp.ndarray,       # position being committed (row 0)
+        k_cache: jnp.ndarray,    # (N, Tc, D)
+        v_cache: jnp.ndarray,
+        valid_len: jnp.ndarray,  # attendable prefix length AFTER the commit
+        mem_k: jnp.ndarray,
+        mem_v: jnp.ndarray,
+        memory_padding_mask,
+    ):
+        """Fused commit+predict step: one layer pass for two positions.
+
+        Row 0 (the token being committed at ``step``) writes its projected
+        k/v into the cache and attends keys [0, valid_len) — which includes
+        itself; row 1 (the speculative pad query at ``step+1``) attends the
+        same prefix — which includes the just-committed key but not its own
+        (nothing is cached at step+1).  Identical math to two ``incremental``
+        calls, at half the cache/memory traffic.
+        """
+        assert not self.pre_norm
+        N, _, D = x.shape
+        Tc = k_cache.shape[1]
+
+        kx, vx = self.self_attention.project_kv(x[:, :1], x[:, :1])
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kx, (0, step, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vx, (0, step, 0))
+
+        key_mask = (jnp.arange(Tc) >= valid_len)[None, :]
+        qx = self.self_attention.project_q(x)
+        sa = self.self_attention.attend(
+            qx, k_cache, v_cache,
+            key_padding_mask=jnp.broadcast_to(key_mask, (N, Tc)),
+        )
+        x = self.layer_norm_1(x + self.drop_1(sa, deterministic=True))
+
+        qc = self.cross_attention.project_q(x)
+        ca = self.cross_attention.attend(
+            qc, mem_k, mem_v, key_padding_mask=memory_padding_mask
+        )
+        x = self.layer_norm_2(x + self.drop_2(ca, deterministic=True))
+        x = self.layer_norm_3(x + self.mlp(x, deterministic=True))
+        return x, k_cache, v_cache
+
     def incremental(
         self,
         x: jnp.ndarray,          # (N, 1, D) layer input at one position

@@ -24,24 +24,23 @@ _INF = jnp.float32(1e18)
 
 
 def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
-    """Solve square LSAP. cost: (n, n) float32. Returns col_to_row: (n,) int32.
-
-    col_to_row[j] = row assigned to column j; minimizes sum cost[row, col].
-    """
-    n = cost.shape[0]
-    assert cost.shape == (n, n), "hungarian expects a square matrix; pad first"
+    """Solve LSAP for cost (n, m) with n <= m. Returns col_to_row: (m,) int32,
+    where col_to_row[j] is the row matched to column j (-1 if unmatched).
+    Minimizes sum cost[row, col] over a full matching of all n rows."""
+    n, m = cost.shape
+    assert n <= m, "hungarian expects n_rows <= n_cols; transpose first"
     cost = cost.astype(jnp.float32)
 
     # 1-indexed arrays with a dummy 0 slot (classic formulation).
-    # p[j] = row (1..n) matched to column j (0 = unmatched), j in 0..n.
+    # p[j] = row (1..n) matched to column j (0 = unmatched), j in 0..m.
     def outer_body(i, carry):
-        u, v, p = carry  # u: (n+1,), v: (n+1,), p: (n+1,) int32
+        u, v, p = carry  # u: (n+1,), v: (m+1,), p: (m+1,) int32
         i1 = i + 1  # current row, 1-indexed
 
         p = p.at[0].set(i1)
-        minv = jnp.full((n + 1,), _INF)
-        used = jnp.zeros((n + 1,), dtype=bool)
-        way = jnp.zeros((n + 1,), dtype=jnp.int32)
+        minv = jnp.full((m + 1,), _INF)
+        used = jnp.zeros((m + 1,), dtype=bool)
+        way = jnp.zeros((m + 1,), dtype=jnp.int32)
         j0 = jnp.int32(0)
 
         def search_cond(state):
@@ -85,10 +84,10 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
         return (u, v, p)
 
     u0 = jnp.zeros((n + 1,))
-    v0 = jnp.zeros((n + 1,))
-    p0 = jnp.zeros((n + 1,), dtype=jnp.int32)
+    v0 = jnp.zeros((m + 1,))
+    p0 = jnp.zeros((m + 1,), dtype=jnp.int32)
     _, _, p = jax.lax.fori_loop(0, n, outer_body, (u0, v0, p0))
-    return p[1:] - 1  # col j (0-indexed) -> row (0-indexed)
+    return p[1:] - 1  # col j (0-indexed) -> row (0-indexed), -1 = unmatched
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -102,17 +101,20 @@ def batched_hungarian(cost: jnp.ndarray, col_valid: jnp.ndarray):
     Returns:
       col_to_row: (B, n_cols) int32 — for each (valid) column, the matched row.
         Entries for invalid columns are arbitrary; mask with col_valid.
+
+    Implementation: the problem is solved TRANSPOSED — the (few) GT columns
+    become the algorithm's rows, so only n_cols augmentations run instead of
+    n_rows (2x fewer sequential while-loop steps for the 20-query x 10-GT
+    matcher shape).  Invalid GT slots become constant-cost rows: a row whose
+    cost is column-independent takes whichever column is left over without
+    affecting the real rows' optimum (we use 0 — large pads would swamp real
+    cost differences in f32 potentials).
     """
     B, n_rows, n_cols = cost.shape
     assert n_cols <= n_rows
-    # Square-pad the column axis to n_rows. Padding/invalid columns carry a
-    # CONSTANT cost: every perfect matching places each such column on exactly
-    # one row, contributing n_pad * c regardless of which rows — so any c
-    # preserves the optimum over real columns. Use 0, not a large value:
-    # a 1e6 pad swamps small real-cost differences in f32 potentials.
-    pad_c = jnp.float32(0.0)
-    padded = jnp.full((B, n_rows, n_rows), pad_c, dtype=jnp.float32)
-    real = jnp.where(col_valid[:, None, :], cost.astype(jnp.float32), pad_c)
-    padded = padded.at[:, :, :n_cols].set(real)
-    col_to_row = jax.vmap(hungarian)(padded)  # (B, n_rows)
-    return col_to_row[:, :n_cols]
+    cost_t = jnp.swapaxes(cost.astype(jnp.float32), 1, 2)  # (B, n_cols, n_rows)
+    cost_t = jnp.where(col_valid[:, :, None], cost_t, 0.0)
+    p = jax.vmap(hungarian)(cost_t)  # (B, n_rows): query j -> GT slot or -1
+    # invert: for each GT slot g, the query j with p[j] == g
+    match = p[:, None, :] == jnp.arange(n_cols)[None, :, None]  # (B, G, Q)
+    return jnp.argmax(match, axis=-1).astype(jnp.int32)

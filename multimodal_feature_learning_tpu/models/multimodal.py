@@ -416,6 +416,15 @@ class MultimodalCaptionDecoderLayer(nn.Module):
             self.mlp_dropout_1, self.mlp_dropout_2,
         )
 
+    def _post_self(self, x, vid_x, aud_x, deterministic):
+        """Shared tail: bridge + MLP after self/cross attention."""
+        x = jnp.concatenate([vid_x, aud_x], axis=-1)
+        x = self.linear_layer(x)
+        x = self.bridge_drop(x, deterministic=deterministic)
+        x = self.layer_norm_3(x)
+        x = nn.gelu(x, approximate=False)
+        return self.layer_norm_4(x + self.mlp(x, deterministic=deterministic))
+
     def __call__(
         self, target, video_memory, audio_memory,
         tgt_mask=None, tgt_padding_mask=None,
@@ -439,15 +448,47 @@ class MultimodalCaptionDecoderLayer(nn.Module):
             key_padding_mask=audio_memory_padding_mask, deterministic=deterministic,
         )
         aud_x = self.layer_norm_2(x + self.drop_3(caa, deterministic=deterministic))
+        return self._post_self(x, vid_x, aud_x, deterministic)
 
-        x = jnp.concatenate([vid_x, aud_x], axis=-1)
-        x = self.linear_layer(x)
-        x = self.bridge_drop(x, deterministic=deterministic)
-        x = self.layer_norm_3(x)
-        x = nn.gelu(x, approximate=False)
+    def project_memory_kv(self, video_memory, audio_memory):
+        return (
+            self.video_cross_attention.project_kv(video_memory, video_memory),
+            self.audio_cross_attention.project_kv(audio_memory, audio_memory),
+        )
 
-        x = self.layer_norm_4(x + self.mlp(x, deterministic=deterministic))
-        return x
+    def incremental_pair(
+        self, x, step, k_cache, v_cache, valid_len,
+        vid_kv, aud_kv, video_memory_padding_mask, audio_memory_padding_mask,
+    ):
+        """Fused commit+predict for the multimodal layer (see
+        UnimodalCaptionDecoderLayer.incremental_pair for the scheme)."""
+        N, _, D = x.shape
+        Tc = k_cache.shape[1]
+        kx, vx = self.self_attention.project_kv(x[:, :1], x[:, :1])
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kx, (0, step, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vx, (0, step, 0))
+
+        key_mask = (jnp.arange(Tc) >= valid_len)[None, :]
+        qx = self.self_attention.project_q(x)
+        sa = self.self_attention.attend(
+            qx, k_cache, v_cache,
+            key_padding_mask=jnp.broadcast_to(key_mask, (N, Tc)),
+        )
+        x = self.layer_norm_1(x + self.drop_1(sa, deterministic=True))
+
+        mkv, mvv = vid_kv
+        mka, mva = aud_kv
+        qv = self.video_cross_attention.project_q(x)
+        cav = self.video_cross_attention.attend(
+            qv, mkv, mvv, key_padding_mask=video_memory_padding_mask
+        )
+        vid_x = self.layer_norm_2(x + self.drop_2(cav, deterministic=True))
+        qa = self.audio_cross_attention.project_q(x)
+        caa = self.audio_cross_attention.attend(
+            qa, mka, mva, key_padding_mask=audio_memory_padding_mask
+        )
+        aud_x = self.layer_norm_2(x + self.drop_3(caa, deterministic=True))
+        return self._post_self(x, vid_x, aud_x, True), k_cache, v_cache
 
 
 class MultimodalCaptionDecoder(nn.Module):
@@ -515,29 +556,60 @@ def multimodal_greedy_decode(
     module, params, video_memory, video_mask, audio_memory, audio_mask,
     seq_len, bos_idx, eos_idx, pad_idx,
 ):
-    """Greedy decode via full re-run per step inside lax.scan (multimodal
-    path; KV-cached variant mirrors the unimodal one and lands with the
-    incremental multimodal layer)."""
-    N = video_memory.shape[0]
+    """KV-cached greedy decode for the multimodal decoder: fused
+    commit+predict per step, memory k/v projected once per modality —
+    the multimodal analog of caption_decoder.greedy_decode."""
+    N, _, D = video_memory.shape
+    depth = module.depth
+
+    def _precompute(mdl, vm, am):
+        return [layer.project_memory_kv(vm, am) for layer in mdl.decoder]
+
+    mem_kv = module.apply(params, video_memory, audio_memory, method=_precompute)
+
+    def _embed_at(mdl, tokens, pos):
+        x = mdl.target_embedding(tokens[:, None])
+        pe = jax.lax.dynamic_slice_in_dim(mdl.pos_table, pos, 1, axis=1)
+        return x + pe
+
+    def _decode_pair(mdl, prev_tok, pad_tok, step, k_caches, v_caches):
+        x_prev = _embed_at(mdl, prev_tok, step)
+        x_next = _embed_at(mdl, pad_tok, step + 1)
+        x = jnp.concatenate([x_prev, x_next], axis=1)
+        new_k, new_v = [], []
+        for li, layer in enumerate(mdl.decoder):
+            vid_kv, aud_kv = mem_kv[li]
+            x, kc, vc = layer.incremental_pair(
+                x, step, k_caches[li], v_caches[li], step + 1,
+                vid_kv, aud_kv, video_mask, audio_mask,
+            )
+            new_k.append(kc)
+            new_v.append(vc)
+        return mdl.head(x[:, 1, :]), jnp.stack(new_k), jnp.stack(new_v)
+
     captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32).at[:, 0].set(bos_idx)
     done = jnp.zeros((N,), dtype=bool)
-    causal = make_causal_mask(seq_len)
+    k_caches = jnp.zeros((depth, N, seq_len, D), dtype=video_memory.dtype)
+    v_caches = jnp.zeros((depth, N, seq_len, D), dtype=video_memory.dtype)
 
     def step_fn(carry, t):
-        captions, done = carry
-        out = module.apply(
-            params, captions, video_memory, audio_memory,
-            causal, captions == pad_idx, video_mask, audio_mask,
+        captions, done, k_caches, v_caches = carry
+        prev_tok = jnp.take_along_axis(
+            captions, (t - 1)[None, None].repeat(N, 0), axis=1
+        )[:, 0]
+        pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
+        logits, k_caches, v_caches = module.apply(
+            params, prev_tok, pad_tok, t - 1, k_caches, v_caches,
+            method=_decode_pair,
         )
-        pred = jnp.argmax(out[-1], axis=-1)  # (N, seq_len)
-        tok = jnp.take_along_axis(pred, t[None, None].repeat(N, 0), axis=1)[:, 0]
-        tok = jnp.where(done, pad_idx, tok).astype(jnp.int32)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, pad_idx, tok)
         captions = captions.at[:, t].set(tok)
         done = done | (tok == eos_idx)
-        return (captions, done), None
+        return (captions, done, k_caches, v_caches), None
 
-    (captions, done), _ = jax.lax.scan(
-        step_fn, (captions, done), jnp.arange(1, seq_len)
+    (captions, done, _, _), _ = jax.lax.scan(
+        step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
     )
     has_eos = jnp.any(captions == eos_idx, axis=1)
     last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)

@@ -66,6 +66,51 @@ def test_mm_train_forward_and_criterion(setup):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
 
 
+def test_mm_kv_greedy_matches_full_recompute(setup):
+    """KV-cached multimodal greedy must equal a full-recompute greedy loop."""
+    import jax.numpy as jnp
+
+    from multimodal_feature_learning_tpu.models.caption_decoder import make_causal_mask
+    from multimodal_feature_learning_tpu.models.multimodal import multimodal_greedy_decode
+
+    cfg, model, batch, params = setup
+    out, indices, _ = model._propose_and_match(params, batch, True)
+    (v_crop, v_mask, v_cap_mask, _), (a_crop, a_mask, a_cap_mask, _) = (
+        model._prepare_caption_inputs(params, out, batch, indices)
+    )
+    seq_len = model.seq_len
+    mdl = model.caption_decoder
+
+    # full-recompute reference loop
+    N = v_crop.shape[0]
+    captions = np.full((N, seq_len), 1, dtype=np.int32)
+    captions[:, 0] = 2
+    done = np.zeros(N, dtype=bool)
+    for t in range(1, seq_len):
+        toks = jnp.asarray(captions)
+        o = mdl.apply(
+            params["caption"], toks, v_crop, a_crop,
+            make_causal_mask(seq_len), toks == 1, v_cap_mask, a_cap_mask,
+        )
+        pred = np.asarray(jnp.argmax(o[-1], axis=-1))
+        for n in range(N):
+            if not done[n]:
+                captions[n, t] = pred[n, t]
+                if pred[n, t] == 3:
+                    done[n] = True
+    has_eos = (captions == 3).any(axis=1)
+    last = np.where(has_eos, 1, 3).astype(np.int32)
+    expected = np.concatenate([captions, last[:, None]], axis=1)
+
+    got = np.asarray(
+        multimodal_greedy_decode(
+            mdl, params["caption"], v_crop, v_cap_mask, a_crop, a_cap_mask,
+            seq_len, 2, 3, 1,
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_mm_eval_greedy(setup):
     cfg, model, batch, params = setup
     out, captions, indices, _, _ = jax.jit(

@@ -105,6 +105,12 @@ class ProposalNet(nn.Module):
     # the sparse family dropped it.
     with_class_head: bool = False
     num_classes: int = 200
+    # optional sequence parallelism: constrain the flattened token axis of the
+    # encoder memory onto the mesh 'model' axis (the CP analog — deformable
+    # attention only touches +-P points per reference location, so GSPMD turns
+    # the gathers/matmuls into halo-style collectives). Off by default; the
+    # 15-30M-param model needs no TP/SP for parity (SURVEY §2.5).
+    shard_tokens_axis: str = ""
 
     def setup(self):
         self.base_encoder = BaseEncoder(self.num_feature_levels, self.d_model)
@@ -152,6 +158,12 @@ class ProposalNet(nn.Module):
         (memory, loc_enc, attn_enc, enc_inter_feats, enc_inter_bases) = (
             self.transformer.forward_encoder(enc_inputs, deterministic)
         )
+        if self.shard_tokens_axis:
+            from jax.sharding import PartitionSpec as P
+
+            memory = jax.lax.with_sharding_constraint(
+                memory, P(None, self.shard_tokens_axis, None)
+            )
 
         init_ref, tgt, reference_points, query_pos = (
             self.transformer.prepare_decoder_input_query(B, self.query_embedding)

@@ -46,9 +46,9 @@ def synthetic_batch(cfg, B=2, seed=0):
     video = rng.normal(size=(B, T, Dv)).astype(np.float32)
     video_mask = np.zeros((B, T), dtype=bool)
     video_mask[1, T - 5 :] = True  # second video padded
-    durations = np.array([30.0, 12.0], dtype=np.float32)[:B]
+    durations = rng.uniform(10.0, 40.0, size=(B,)).astype(np.float32)
 
-    n_gt = np.array([3, 2])[:B]
+    n_gt = rng.integers(1, G + 1, size=(B,))
     gt_mask = np.arange(G)[None] < n_gt[:, None]
     centers = rng.uniform(0.2, 0.8, size=(B, G))
     lengths = rng.uniform(0.05, 0.3, size=(B, G))

@@ -170,6 +170,16 @@ def main():
     train_step = make_train_step(model, criterion, weight_dict, tx, schedule)
     eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
 
+    wandb = None
+    if cfg.wandb.on:
+        try:
+            import wandb as _wandb
+
+            wandb = _wandb
+            wandb.init(project=cfg.wandb.project, config=cfg.to_dict())
+        except ImportError:
+            print("wandb requested but not installed; continuing without it")
+
     print("Start training")
     t_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
@@ -197,6 +207,8 @@ def main():
         if jax.process_index() == 0:
             with open(os.path.join(cfg.output_dir, "train_log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
+            if wandb is not None:
+                wandb.log(log_stats, step=epoch)
 
     print(f"Training done in {time.time() - t_start:.1f}s")
 

@@ -97,7 +97,13 @@ def load_config_train() -> ml_collections.ConfigDict:
     dvc.corr_coef = 2.0
     dvc.eos_coef = 0.1
 
+    # 'contexts' / 'mask_prediction' appended per flags below, mirroring
+    # config_dvc_train.py:152-159
     dvc.losses = ["labels", "segments", "captions"]
+    if cfg.use_differentiable_mask:
+        dvc.losses.append("contexts")
+    if dvc.use_sparse_detr:
+        dvc.losses.append("mask_prediction")
 
     # matcher
     m = dvc.matcher = ml_collections.ConfigDict()

@@ -46,10 +46,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
-    """device_put every array with its leading dim split over 'data'."""
+    """device_put every array with its leading dim split over 'data'.
+
+    Single-device meshes skip NamedSharding entirely: on the experimental
+    'axon' TPU platform, feeding NamedSharding-annotated inputs into jit
+    selects a partitioned-executable path that runs ~100x slower than the
+    plain single-device executable (measured 67s vs 0.14s per train step).
+    Semantics are identical either way on one device.
+    """
+    if mesh.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return {k: jax.device_put(v, dev) for k, v in batch_arrays.items()}
     sh = data_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch_arrays.items()}
 
 
 def replicate_params(tree, mesh: Mesh):
+    if mesh.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.device_put(tree, dev)
     return jax.device_put(tree, replicated(mesh))

@@ -103,6 +103,12 @@ class RegularProposalNet(nn.Module):
         """video: (B, T, Dv) precomputed features OR (B, T, H, W, C) raw frames
         when use_vivit. Returns the `out` dict for the shared orchestration."""
         if self.use_vivit:
+            if video.dtype == jnp.uint8:
+                # raw frames: jitted ImageNet normalization fuses into the
+                # backbone's first conv (data/video_transforms.py)
+                from ..data.video_transforms import normalize
+
+                video = normalize(video)
             memory = self.backbone(video, deterministic)
         else:
             memory = video

@@ -178,10 +178,15 @@ def greedy_decode(
     bos_idx: int,
     eos_idx: int,
     pad_idx: int,
+    faster_eval: bool = False,
+    kv_dtype=None,
 ):
     """KV-cached greedy decode; semantics of the reference eval loop
-    (unimodal_sparse_dvc.py:303-355, faster_eval=False): argmax per step,
-    captions frozen after <eos>, then one trailing <pad>/<eos> appended.
+    (unimodal_sparse_dvc.py:303-355): argmax per step; with
+    ``faster_eval=False`` captions freeze after <eos> and a trailing
+    <pad>/<eos> is appended; with ``faster_eval=True`` every position takes
+    the raw argmax and an <eos> column is appended unconditionally
+    (reference :334-335, :348-351).
 
     Returns (N, seq_len + 1) int32 captions including the trailing token.
     """
@@ -189,6 +194,10 @@ def greedy_decode(
     depth = module.depth
 
     mem_kv = module.apply(params, memory, method=UnimodalCaptionDecoder.precompute_memory_kv)
+    if kv_dtype is not None:
+        # bandwidth knob: the memory k/v are re-read every decode step and
+        # dominate HBM traffic; attention logits still accumulate in f32
+        mem_kv = jax.tree.map(lambda a: a.astype(kv_dtype), mem_kv)
 
     captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32)
     captions = captions.at[:, 0].set(bos_idx)
@@ -207,7 +216,8 @@ def greedy_decode(
             method=UnimodalCaptionDecoder.decode_pair,
         )
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(done, pad_idx, tok)
+        if not faster_eval:
+            tok = jnp.where(done, pad_idx, tok)
         captions = captions.at[:, t].set(tok)
         done = done | (tok == eos_idx)
         return (captions, done, k_caches, v_caches), None
@@ -216,8 +226,11 @@ def greedy_decode(
         step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
     )
 
-    has_eos = jnp.any(captions == eos_idx, axis=1)
-    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    if faster_eval:
+        last = jnp.full((N,), eos_idx, dtype=jnp.int32)
+    else:
+        has_eos = jnp.any(captions == eos_idx, axis=1)
+        last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
     return jnp.concatenate([captions, last[:, None]], axis=1)
 
 

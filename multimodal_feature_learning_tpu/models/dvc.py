@@ -443,10 +443,14 @@ class UnimodalDVC:
             out["pred_memory_mask"] = pred_memory_mask
 
         if val_mode == "one_by_one":
+            kv_dtype = (
+                jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+            )
             captions_with_eos = greedy_decode(
                 self.caption_decoder, params["caption"],
                 memory_crop, caption_pad_mask,
                 self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                kv_dtype=kv_dtype,
             )
             # losses still need teacher-forced predictions (engine.py:219)
             cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)

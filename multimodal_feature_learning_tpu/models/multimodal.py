@@ -826,5 +826,83 @@ class MultimodalDVC:
         return out, captions_with_eos, indices, indices_aux, memory_mask
 
 
+class RawMultimodalDVC(MultimodalDVC):
+    """Full raw pipeline (BASELINE config #5): raw frames -> ViViT features,
+    log-mel fbank -> AST features, then the multimodal DVC stack.  The
+    backbones run inside the same jitted forward; frame normalization and the
+    fbank are jnp (data/video_transforms.py, data/audio.py), so from pixels +
+    spectrogram to captions is one XLA program."""
+
+    def __init__(self, cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3,
+                 embedding_matrix=None):
+        super().__init__(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)
+        from .backbones import AudioSpectrogramTransformer, VideoVisionTransformer
+
+        viv = cfg.dvc.vivit
+        ast = cfg.dvc.ast
+        self.video_backbone = VideoVisionTransformer(
+            model_name=viv.model_name, d_model=cfg.dvc.d_model,
+            depth=viv.depth, temporal_depth=viv.temporal_depth,
+            num_heads=viv.num_heads,
+            spatial_patch_size=viv.spatial_patch_size,
+            temporal_patch_size=viv.temporal_patch_size,
+        )
+        self.audio_backbone = AudioSpectrogramTransformer(
+            d_model=cfg.dvc.d_model, depth=ast.depth, num_heads=ast.num_heads,
+            patch_size=ast.patch_size, frequency_stride=ast.frequency_stride,
+            time_stride=ast.time_stride,
+        )
+
+    def init(self, rng, batch):
+        rb, rv, ra = jax.random.split(rng, 3)
+        vfeat, afeat, pb = self._init_backbones(rv, ra, batch)
+        feat_batch = dict(batch)
+        feat_batch["video_tensor"] = vfeat
+        feat_batch["audio_tensor"] = afeat
+        feat_batch["video_mask"] = jnp.zeros(vfeat.shape[:2], dtype=bool)
+        feat_batch["audio_mask"] = jnp.zeros(afeat.shape[:2], dtype=bool)
+        params = super().init(rb, feat_batch)
+        params.update(pb)
+        return params
+
+    def _init_backbones(self, rv, ra, batch):
+        from ..data.video_transforms import normalize
+
+        frames = batch["video_tensor"]
+        if frames.dtype == jnp.uint8:
+            frames = normalize(frames)
+        pv = jax.jit(self.video_backbone.init)(rv, frames)
+        pa = jax.jit(self.audio_backbone.init)(ra, batch["audio_tensor"])
+        vfeat = self.video_backbone.apply(pv, frames)
+        afeat = self.audio_backbone.apply(pa, batch["audio_tensor"])
+        return vfeat, afeat, {"video_backbone": pv, "audio_backbone": pa}
+
+    def _propose_and_match(self, params, batch, deterministic, rngs=None):
+        from ..data.video_transforms import normalize
+
+        frames = batch["video_tensor"]
+        if frames.dtype == jnp.uint8:
+            frames = normalize(frames)
+        vfeat = self.video_backbone.apply(
+            params["video_backbone"], frames, deterministic, rngs=rngs
+        )
+        afeat = self.audio_backbone.apply(
+            params["audio_backbone"], batch["audio_tensor"], deterministic, rngs=rngs
+        )
+        feat_batch = dict(batch)
+        feat_batch["video_tensor"] = vfeat
+        feat_batch["audio_tensor"] = afeat
+        feat_batch["video_mask"] = jnp.zeros(vfeat.shape[:2], dtype=bool)
+        feat_batch["audio_mask"] = jnp.zeros(afeat.shape[:2], dtype=bool)
+        # forward_train/forward_eval are inherited: they call this override for
+        # the proposal stage and use the original batch only for durations/
+        # captions/GT, which are backbone-independent. Config requirement: the
+        # ViViT/AST output token counts must equal video/audio_rescale_len so
+        # the pyramid and crop windows line up.
+        return super()._propose_and_match(params, feat_batch, deterministic, rngs)
+
+
 def build_multimodal_model(cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3, embedding_matrix=None):
+    if cfg.use_raw_videos:
+        return RawMultimodalDVC(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)
     return MultimodalDVC(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)

@@ -34,7 +34,8 @@ def main():
 
     @jax.jit
     def infer(params, batch):
-        out, captions, indices, _, _ = model.forward_eval(params, batch, "one_by_one")
+        # 'serve': greedy captions + segments + matching, no loss-only passes
+        out, captions, indices, _, _ = model.forward_eval(params, batch, "serve")
         return captions, out["pred_segments"], indices
 
     # warmup/compile

@@ -205,8 +205,8 @@ def greedy_decode(
     k_caches = jnp.zeros((depth, N, seq_len, D), dtype=memory.dtype)
     v_caches = jnp.zeros((depth, N, seq_len, D), dtype=memory.dtype)
 
-    def step_fn(carry, t):
-        captions, done, k_caches, v_caches = carry
+    def step_body(carry):
+        t, captions, done, k_caches, v_caches = carry
         # fused: commit token t-1 + predict token t in a single layer pass
         prev_tok = jnp.take_along_axis(captions, (t - 1)[None, None].repeat(N, 0), axis=1)[:, 0]
         pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
@@ -220,10 +220,21 @@ def greedy_decode(
             tok = jnp.where(done, pad_idx, tok)
         captions = captions.at[:, t].set(tok)
         done = done | (tok == eos_idx)
-        return (captions, done, k_caches, v_caches), None
+        return (t + 1, captions, done, k_caches, v_caches)
 
-    (captions, done, _, _), _ = jax.lax.scan(
-        step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    def step_cond(carry):
+        # early exit once every caption has emitted <eos> — the reference's
+        # "if total_caption_done == total_caption_num: break"
+        # (unimodal_sparse_dvc.py:345-346); token-identical because frozen
+        # captions only ever append <pad>. faster_eval fills every position.
+        t, captions, done, *_ = carry
+        if faster_eval:
+            return t < seq_len
+        return (t < seq_len) & ~jnp.all(done)
+
+    _, captions, done, _, _ = jax.lax.while_loop(
+        step_cond, step_body,
+        (jnp.int32(1), captions, done, k_caches, v_caches),
     )
 
     if faster_eval:

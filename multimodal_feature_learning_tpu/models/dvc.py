@@ -329,7 +329,7 @@ class UnimodalDVC:
 
     # -- shared trunk -------------------------------------------------------------
 
-    def _propose_and_match(self, params, batch, deterministic, rngs=None):
+    def _propose_and_match(self, params, batch, deterministic, rngs=None, with_aux=True):
         out = self.proposal_net.apply(
             params["proposal"],
             batch["video_tensor"], batch["video_mask"], batch["durations"],
@@ -344,7 +344,7 @@ class UnimodalDVC:
         )  # (B, G)
 
         indices_aux = None
-        if self.aux_loss:
+        if self.aux_loss and with_aux:
             aux_seg = out["outputs_segment_all"][:-1]  # (layers-1, B, Q, 2)
             Lm1, B = aux_seg.shape[0], aux_seg.shape[1]
             flat = aux_seg.reshape(Lm1 * B, self.num_queries, 2)
@@ -434,7 +434,7 @@ class UnimodalDVC:
         """Returns (out, captions_with_eos (N, Lc[+1]), indices, indices_aux,
         memory_mask_float)."""
         out, indices, indices_aux = self._propose_and_match(
-            params, batch, deterministic=True
+            params, batch, deterministic=True, with_aux=(val_mode != "serve")
         )
         memory_crop, crop_mask, caption_pad_mask, pred_memory_mask = (
             self._prepare_caption_inputs(params, out, batch, indices)
@@ -442,7 +442,7 @@ class UnimodalDVC:
         if pred_memory_mask is not None:
             out["pred_memory_mask"] = pred_memory_mask
 
-        if val_mode == "one_by_one":
+        if val_mode in ("one_by_one", "serve"):
             kv_dtype = (
                 jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
             )
@@ -452,6 +452,10 @@ class UnimodalDVC:
                 self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
                 kv_dtype=kv_dtype,
             )
+            if val_mode == "serve":
+                # pure inference: skip the loss-only teacher-forced pass and
+                # aux bookkeeping entirely (serving configuration)
+                return out, captions_with_eos, indices, indices_aux, crop_mask.astype(jnp.float32)
             # losses still need teacher-forced predictions (engine.py:219)
             cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
             tgt = cap_tokens[:, :-1]

@@ -65,8 +65,12 @@ class CrossAttention(nn.Module):
         kh = kp.reshape(B, Tk, H, Dh).transpose(0, 2, 1, 3)
         vh = vp.reshape(B, Tk, H, Dh).transpose(0, 2, 1, 3)
 
+        # match the (possibly reduced-precision) kv dtype so a bf16 KV cache
+        # is read as bf16 instead of being upcast-copied; logits still
+        # accumulate in f32 via preferred_element_type
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", qh.astype(kh.dtype), kh,
+            preferred_element_type=jnp.float32,
         )
         if attn_mask is not None:
             logits = jnp.where(attn_mask, NEG_MASK, logits)

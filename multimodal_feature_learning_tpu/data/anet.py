@@ -170,6 +170,12 @@ def collate_fixed(
 
     video = np.zeros((B, max_len, D), dtype=np.float32)
     mask = np.ones((B, max_len), dtype=bool)
+    # dummy rows (batch padding) are full-length valid zero videos, NOT fully
+    # padded rows: a fully-masked row creates degenerate intermediates
+    # (valid_ratio=0 divisions, all-masked softmaxes) whose backward emits NaN
+    # even though the criterion masks the loss. Finite forward => zero, finite
+    # gradients for dummy rows (their loss cotangents are exactly 0).
+    mask[n_real:] = False
     durations = np.ones((B,), dtype=np.float32)
     gt_segments = np.zeros((B, max_gt, 2), dtype=np.float32)
     gt_mask = np.zeros((B, max_gt), dtype=bool)
@@ -210,6 +216,7 @@ def collate_fixed(
         a_max = max(s["audio_feature"].shape[0] for s in samples)
         audio = np.zeros((B, a_max, Da), dtype=np.float32)
         audio_mask = np.ones((B, a_max), dtype=bool)
+        audio_mask[n_real:] = False  # dummy rows: valid zero audio (see above)
         for i, s in enumerate(samples):
             La = s["audio_feature"].shape[0]
             audio[i, :La] = s["audio_feature"]

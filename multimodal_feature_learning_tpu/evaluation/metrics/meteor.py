@@ -1,18 +1,38 @@
-"""METEOR (Banerjee & Lavie 2005) — dependency-free implementation.
+"""METEOR — dependency-free implementation of the METEOR 1.5 formulation.
 
 The reference pipeline spawns the METEOR 1.5 Java jar as a persistent
-subprocess (pycocoevalcap; absent from the snapshot and JVM-dependent).  This
-is a pure-Python implementation of the classic METEOR formulation: exact +
-Porter-stem unigram alignment, F_mean = 10PR/(R + 9P), fragmentation penalty
-0.5 * (chunks/matches)^3, max over references.  It tracks but does not equal
-METEOR-1.5 (no WordNet synonymy/paraphrase tables); treat absolute values as
-"meteor-lite".  The evaluator accepts any scorer object with this interface,
-so the Java-backed scorer can be swapped in for bit-exact comparisons.
+subprocess (pycocoevalcap/meteor/meteor.py; the jar is absent from the
+snapshot and JVM-dependent — no java in this image). This module implements
+the METEOR 1.5 ("Meteor Universal", Denkowski & Lavie 2014) scoring scheme in
+pure Python:
+
+  * matcher stages: exact (w=1.0) and Porter-stem (w=0.6);
+  * content/function word distinction with weight delta = 0.75;
+  * weighted P/R, Fmean = P*R / (alpha*P + (1-alpha)*R), alpha = 0.85;
+  * fragmentation penalty gamma * (chunks/matches)^beta, gamma = 0.6,
+    beta = 0.2;
+  * best reference per segment, corpus score = micro-average over the
+    aggregated segment statistics (the jar's EVAL aggregation), per-segment
+    scores also returned.
+
+Known deviations from the Java jar (documented, data-blocked in this image):
+  * no WordNet synonymy stage (w=0.8) and no paraphrase-table stage (w=0.6) —
+    both require data files (WordNet db / paraphrase-en.gz) that cannot be
+    downloaded here. Scores are therefore a LOWER bound on jar METEOR for
+    hyps that only match via synonyms/paraphrases.
+  * the function-word list is a standard English closed-class list, not the
+    jar's corpus-derived function.words file.
+  * alignment is a chunk-minimizing greedy heuristic, not the jar's beam
+    search (identical on typical short captions).
+
+The evaluator accepts any scorer object with this interface, so the
+Java-backed scorer can be swapped in for bit-exact comparisons where a JVM
+exists. ``Meteor2005`` below keeps the classic Banerjee & Lavie formulation.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 
 # ---------------------------------------------------------------------------
@@ -157,61 +177,125 @@ def porter_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# METEOR
+# METEOR 1.5
 # ---------------------------------------------------------------------------
 
+# Standard English closed-class (function) words; stands in for the jar's
+# corpus-derived function.words list (words with relative frequency > 1e-3).
+FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no all both half
+    either neither such what which who whom whose i you he she it we they me
+    him her us them my your his its our their mine yours hers ours theirs
+    myself yourself himself herself itself ourselves yourselves themselves
+    and or but nor so yet for because although though while if unless until
+    since when whenever where wherever whereas than as of in on at by with
+    from into onto upon about against between among through during before
+    after above below under over up down out off to toward towards across
+    along around behind beside besides beyond inside outside near past
+    without within underneath throughout despite is am are was were be been
+    being do does did doing have has had having will would shall should can
+    could may might must ought need dare not n't 's 'd 'll 'm 're 've there
+    here then once again also too very just only even still almost quite
+    rather really now how why whether per via versus etc""".split()
+)
+
+# METEOR 1.5 English parameters (meteor-1.5 Constants.java / paper Table 2)
+ALPHA = 0.85   # P/R balance in Fmean
+BETA = 0.2     # fragmentation exponent
+GAMMA = 0.6    # fragmentation weight
+DELTA = 0.75   # content-vs-function word weight
+STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem (syn 0.8 / paraphrase 0.6 absent)
+
+
 def _align(hyp: List[str], ref: List[str]):
-    """Exact then stem matching, left-to-right; returns list of
-    (hyp_idx, ref_idx) pairs."""
-    pairs = []
+    """Stage-priority one-to-one alignment. Returns a list of
+    (hyp_idx, ref_idx, stage) triples sorted by hyp_idx.
+
+    Chunk-minimizing greedy heuristic: candidates that continue the previous
+    (hyp_i-1 -> ref_j-1) adjacency are preferred, then the candidate closest
+    to the continuation position (the jar resolves ties by beam search over
+    total matches then chunks; identical on typical short captions)."""
+    n_stages = len(STAGE_WEIGHTS)
+    keys = [hyp, [porter_stem(h) for h in hyp]]
+    ref_keys = [ref, [porter_stem(r) for r in ref]]
+
     used_ref = [False] * len(ref)
-    matched_hyp = [False] * len(hyp)
-    # pass 1: exact
-    for i, h in enumerate(hyp):
-        for j, r in enumerate(ref):
-            if not used_ref[j] and h == r:
-                pairs.append((i, j))
-                used_ref[j] = True
-                matched_hyp[i] = True
-                break
-    # pass 2: stems
-    hyp_stems = [porter_stem(h) for h in hyp]
-    ref_stems = [porter_stem(r) for r in ref]
-    for i, hs in enumerate(hyp_stems):
-        if matched_hyp[i]:
-            continue
-        for j, rs in enumerate(ref_stems):
-            if not used_ref[j] and hs == rs:
-                pairs.append((i, j))
-                used_ref[j] = True
-                matched_hyp[i] = True
-                break
-    return sorted(pairs)
+    match_of_hyp: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
+    for stage in range(n_stages):
+        prev_j = -2
+        for i in range(len(hyp)):
+            if match_of_hyp[i] is not None:
+                prev_j = match_of_hyp[i][0]
+                continue
+            cands = [
+                j for j in range(len(ref))
+                if not used_ref[j] and keys[stage][i] == ref_keys[stage][j]
+            ]
+            if not cands:
+                continue
+            target = prev_j + 1
+            j = min(cands, key=lambda c: (abs(c - target), c))
+            match_of_hyp[i] = (j, stage)
+            used_ref[j] = True
+            prev_j = j
+    return [
+        (i, m[0], m[1]) for i, m in enumerate(match_of_hyp) if m is not None
+    ]
 
 
-def _chunks(pairs) -> int:
+def _count_chunks(pairs) -> int:
+    """Contiguous-in-both runs over matches sorted by hyp index."""
     if not pairs:
         return 0
     chunks = 1
-    for (h0, r0), (h1, r1) in zip(pairs, pairs[1:]):
+    for (h0, r0, _), (h1, r1, _) in zip(pairs, pairs[1:]):
         if h1 != h0 + 1 or r1 != r0 + 1:
             chunks += 1
     return chunks
 
 
-def meteor_score(hyp_line: str, ref_line: str) -> float:
+def _segment_stats(hyp_line: str, ref_line: str) -> Dict[str, float]:
+    """METEOR 1.5 sufficient statistics for one (hyp, ref) pair."""
     hyp, ref = hyp_line.split(), ref_line.split()
-    if not hyp or not ref:
-        return 0.0
     pairs = _align(hyp, ref)
-    m = len(pairs)
-    if m == 0:
+
+    def weighted_len(words):
+        c = sum(1 for w in words if w not in FUNCTION_WORDS)
+        return DELTA * c + (1.0 - DELTA) * (len(words) - c)
+
+    w_match_h = w_match_r = 0.0
+    for i, j, stage in pairs:
+        wh = DELTA if hyp[i] not in FUNCTION_WORDS else 1.0 - DELTA
+        wr = DELTA if ref[j] not in FUNCTION_WORDS else 1.0 - DELTA
+        w_match_h += STAGE_WEIGHTS[stage] * wh
+        w_match_r += STAGE_WEIGHTS[stage] * wr
+
+    return {
+        "w_match_h": w_match_h,
+        "w_match_r": w_match_r,
+        "w_len_h": weighted_len(hyp),
+        "w_len_r": weighted_len(ref),
+        "matches": float(len(pairs)),
+        "chunks": float(_count_chunks(pairs)),
+    }
+
+
+def _score_from_stats(s: Dict[str, float]) -> float:
+    if s["matches"] == 0 or s["w_len_h"] == 0 or s["w_len_r"] == 0:
         return 0.0
-    p = m / len(hyp)
-    r = m / len(ref)
-    f_mean = 10 * p * r / (r + 9 * p)
-    penalty = 0.5 * (_chunks(pairs) / m) ** 3
-    return f_mean * (1 - penalty)
+    p = s["w_match_h"] / s["w_len_h"]
+    r = s["w_match_r"] / s["w_len_r"]
+    if p + r == 0:
+        return 0.0
+    fmean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+    frag = s["chunks"] / s["matches"]
+    penalty = GAMMA * frag**BETA if s["chunks"] > 0 else 0.0
+    return fmean * (1.0 - penalty)
+
+
+def meteor_score(hyp_line: str, ref_line: str) -> float:
+    """Single-pair METEOR 1.5 score."""
+    return _score_from_stats(_segment_stats(hyp_line, ref_line))
 
 
 class Meteor:
@@ -219,10 +303,56 @@ class Meteor:
         return "METEOR"
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-        scores = []
+        """Best reference per segment; corpus score is the jar's micro-average
+        (aggregate the best-ref sufficient statistics, score the aggregate)."""
+        agg = {k: 0.0 for k in (
+            "w_match_h", "w_match_r", "w_len_h", "w_len_r", "matches", "chunks"
+        )}
+        seg_scores = []
         for k in gts:
             hyp = res[k][0]
-            best = max((meteor_score(hyp, ref) for ref in gts[k]), default=0.0)
-            scores.append(best)
+            best_stats, best = None, -1.0
+            for ref in gts[k]:
+                stats = _segment_stats(hyp, ref)
+                score = _score_from_stats(stats)
+                if score > best:
+                    best, best_stats = score, stats
+            if best_stats is None:
+                best_stats = _segment_stats(hyp, "")
+                best = 0.0
+            seg_scores.append(best)
+            for key in agg:
+                agg[key] += best_stats[key]
+        return _score_from_stats(agg), seg_scores
+
+
+class Meteor2005:
+    """Classic METEOR (Banerjee & Lavie 2005): exact+stem alignment,
+    Fmean = 10PR/(R+9P), penalty 0.5*(chunks/matches)^3, max over refs,
+    macro-average over segments."""
+
+    def method(self):
+        return "METEOR"
+
+    @staticmethod
+    def _pair(hyp_line: str, ref_line: str) -> float:
+        hyp, ref = hyp_line.split(), ref_line.split()
+        if not hyp or not ref:
+            return 0.0
+        pairs = _align(hyp, ref)
+        m = len(pairs)
+        if m == 0:
+            return 0.0
+        p = m / len(hyp)
+        r = m / len(ref)
+        f_mean = 10 * p * r / (r + 9 * p)
+        penalty = 0.5 * (_count_chunks(pairs) / m) ** 3
+        return f_mean * (1 - penalty)
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        scores = [
+            max((self._pair(res[k][0], ref) for ref in gts[k]), default=0.0)
+            for k in gts
+        ]
         avg = sum(scores) / len(scores) if scores else 0.0
         return avg, scores

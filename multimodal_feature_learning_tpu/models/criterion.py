@@ -53,8 +53,20 @@ def _bce_with_logits(x, y, weight=None):
     return loss
 
 
+def _masked_row_mean(per_row: jnp.ndarray, row_valid) -> jnp.ndarray:
+    """Mean over the batch axis restricted to valid rows (None = all valid).
+
+    The reference never pads the batch dimension, so batch-padded steps must
+    produce losses identical to the unpadded batch."""
+    if row_valid is None:
+        return per_row.mean()
+    n = jnp.clip(jnp.sum(row_valid).astype(per_row.dtype), 1.0)
+    return jnp.sum(jnp.where(row_valid, per_row, 0.0)) / n
+
+
 def cross_entropy_with_gaussian_mask(
-    inputs, targets, weight, lloss_gau_mask: int = 1, lloss_beta: float = 1.0
+    inputs, targets, weight, lloss_gau_mask: int = 1, lloss_beta: float = 1.0,
+    row_valid=None,
 ):
     """Counter loss; reference criterion.py:581-601."""
     max_seq_len = targets.shape[1]
@@ -69,7 +81,7 @@ def cross_entropy_with_gaussian_mask(
         coef = targets + ((1.0 - mask) ** lloss_beta) * (1.0 - targets)
     else:
         coef = jnp.ones_like(targets)
-    return (loss * coef).mean(axis=1).mean()
+    return _masked_row_mean((loss * coef).mean(axis=1), row_valid)
 
 
 def label_smoothing_kl(
@@ -99,10 +111,11 @@ def label_smoothing_kl(
     return jnp.sum(jnp.where(valid, ent - cross, 0.0))
 
 
-def multilabel_soft_margin_loss(x, y):
-    """torch.nn.functional.multilabel_soft_margin_loss (mean reduction)."""
+def multilabel_soft_margin_loss(x, y, row_valid=None):
+    """torch.nn.functional.multilabel_soft_margin_loss (mean reduction),
+    optionally restricted to valid batch rows."""
     loss = -(y * jax.nn.log_sigmoid(x) + (1 - y) * jax.nn.log_sigmoid(-x))
-    return loss.mean(axis=-1).mean()
+    return _masked_row_mean(loss.mean(axis=-1), row_valid)
 
 
 class SetCriterion:
@@ -141,7 +154,8 @@ class SetCriterion:
         onehot = jax.nn.one_hot(counter_target, pred_count.shape[1], dtype=pred_count.dtype)
         weight = self.counter_class_rate[: max_length + 1]
         loss = cross_entropy_with_gaussian_mask(
-            pred_count, onehot, weight, self.lloss_gau_mask, self.lloss_beta
+            pred_count, onehot, weight, self.lloss_gau_mask, self.lloss_beta,
+            row_valid=targets.get("batch_valid"),
         )
         return {"loss_counter": loss}
 
@@ -216,7 +230,11 @@ class SetCriterion:
         target = target.at[rows, jnp.where(keep, topk_idx, S - 1)].max(
             jnp.where(keep, 1.0, 0.0)
         )
-        return {"loss_mask_prediction": multilabel_soft_margin_loss(mask_prediction, target)}
+        return {
+            "loss_mask_prediction": multilabel_soft_margin_loss(
+                mask_prediction, target, row_valid=targets.get("batch_valid")
+            )
+        }
 
     def corr(self, outputs, targets, indices, num_segments, num_tokens):
         if outputs.get("backbone_topk_proposals") is None:
@@ -232,7 +250,11 @@ class SetCriterion:
             outputs["sampling_locations_dec"], outputs["attn_weights_dec"],
         ).sum(axis=(1, 2))
         corr = compute_corr(flat_topk, flat_map, shapes)
-        return {"loss_corr": jax.lax.stop_gradient(corr[0].mean())}
+        return {
+            "loss_corr": jax.lax.stop_gradient(
+                _masked_row_mean(corr[0], targets.get("batch_valid"))
+            )
+        }
 
     # -- orchestration ----------------------------------------------------------
 

@@ -66,12 +66,26 @@ def test_cider_identical_is_ten():
 
 
 def test_meteor_identical_and_stem():
+    # METEOR 1.5 semantics: identical 4-word sentence, one function word "a".
+    # P = R = 1 -> Fmean = 1; chunks=1, matches=4 -> frag=0.25,
+    # Pen = 0.6 * 0.25^0.2 -> score = 1 - Pen = 0.54528503...
     score, _ = Meteor().compute_score({0: ["a man plays guitar"]}, {0: ["a man plays guitar"]})
-    np.testing.assert_allclose(score, 10 / (1 + 9) * 1 * (1 - 0.5 * 1 / 4**3 * 0), atol=0.51)
-    assert score > 0.9
-    # stems align: playing/plays share stem "play"
-    s2, _ = Meteor().compute_score({0: ["the man is playing"]}, {0: ["the man is plays"]})
-    assert s2 > 0.8
+    np.testing.assert_allclose(score, 1.0 - 0.6 * 0.25**0.2, rtol=1e-10)
+    # stems align (weight 0.6): playing/plays share stem "play"; the stem
+    # match scores strictly between no-match and exact-match
+    s_exact, _ = Meteor().compute_score({0: ["the man is playing"]}, {0: ["the man is playing"]})
+    s_stem, _ = Meteor().compute_score({0: ["the man is playing"]}, {0: ["the man is plays"]})
+    s_miss, _ = Meteor().compute_score({0: ["the man is playing"]}, {0: ["the man is walking"]})
+    assert s_miss < s_stem < s_exact
+
+
+def test_meteor_order_sensitivity():
+    from multimodal_feature_learning_tpu.evaluation.metrics.meteor import meteor_score
+
+    ident = meteor_score("a man plays guitar", "a man plays guitar")
+    scrambled = meteor_score("guitar plays man a", "a man plays guitar")
+    assert scrambled < ident  # fragmentation penalty
+    assert meteor_score("x y z", "q w e") == 0.0
 
 
 def test_segment_iou():

@@ -156,7 +156,11 @@ def main():
     score_fn = lambda sub: run_eval(cfg.eval, sub, gt_path)
 
     if args.mode == "eval":
-        eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+        eval_step = make_eval_step(
+            model, criterion, weight_dict, cfg.eval.val_mode,
+            faster_eval=cfg.eval.faster_eval, beam_size=cfg.eval.beam_size,
+            length_penalty=cfg.eval.length_penalty,
+        )
         stats, submission, scores = evaluate(
             model, criterion, weight_dict, eval_step, state.params, val_loader,
             mesh, vocab, cfg, epoch=start_epoch, score_fn=score_fn,
@@ -168,7 +172,11 @@ def main():
 
     schedule = make_lr_schedule(cfg.lr, cfg.lr_drop, max(len(train_loader), 1))
     train_step = make_train_step(model, criterion, weight_dict, tx, schedule)
-    eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+    eval_step = make_eval_step(
+        model, criterion, weight_dict, cfg.eval.val_mode,
+        faster_eval=cfg.eval.faster_eval, beam_size=cfg.eval.beam_size,
+        length_penalty=cfg.eval.length_penalty,
+    )
 
     wandb = None
     if cfg.wandb.on:

@@ -8,7 +8,22 @@ hardcoded ``is_train`` boolean (reference config/config_dvc.py:11).
 
 from __future__ import annotations
 
+import os
+
 import ml_collections
+
+# Real ActivityNet Captions annotations: prefer a local ./anet_data, fall back
+# to the read-only reference copy so `python main.py` runs on real annotations
+# with no flags (reference keeps them at anet_data/, README.md:21-27).
+_ANET_FALLBACK = "/root/reference/anet_data"
+
+
+def _default_anet_path() -> str:
+    if os.path.isdir("./anet_data"):
+        return "./anet_data"
+    if os.path.isdir(_ANET_FALLBACK):
+        return _ANET_FALLBACK
+    return "./anet_data"
 
 
 def load_config_train() -> ml_collections.ConfigDict:
@@ -53,7 +68,7 @@ def load_config_train() -> ml_collections.ConfigDict:
     # -- dataset ---------------------------------------------------------------
     cfg.dataset = ml_collections.ConfigDict()
     anet = cfg.dataset.activity_net = ml_collections.ConfigDict()
-    anet.anet_path = "./anet_data"
+    anet.anet_path = _default_anet_path()
     anet.video_features_file = ""      # h5 file of (num_tokens, feature_dim)
     anet.invalid_videos_json = ""
     anet.for_testing = False
@@ -180,6 +195,12 @@ def load_config_train() -> ml_collections.ConfigDict:
     ev.max_proposals_per_video = 100
     ev.distances = []
     ev.verbose = False
+    # decode configuration (reference exposes faster_eval at the model API,
+    # unimodal_sparse_dvc.py:111; beam search is a TPU-native extension)
+    ev.val_mode = "one_by_one"   # one_by_one | teacher_forcing | beam
+    ev.faster_eval = False
+    ev.beam_size = 4
+    ev.length_penalty = 0.0
 
     # wandb-style run metadata (logging only)
     cfg.wandb = ml_collections.ConfigDict()

@@ -27,12 +27,26 @@ from ..utils.postprocess import (
 from .logging import MetricLogger
 
 
-def make_eval_step(model, criterion, weight_dict, val_mode: str = "one_by_one"):
-    """Returns jitted (params, batch) -> (captions, denorm_segments, losses)."""
+def make_eval_step(
+    model,
+    criterion,
+    weight_dict,
+    val_mode: str = "one_by_one",
+    faster_eval: bool = False,
+    beam_size: int = 0,
+    length_penalty: float = 0.0,
+):
+    """Returns jitted (params, batch) -> (captions, denorm_segments, losses).
+
+    val_mode 'one_by_one'|'teacher_forcing'|'beam'; faster_eval mirrors the
+    reference model flag (unimodal_sparse_dvc.py:111)."""
 
     def eval_step(params, batch):
         out, captions, indices, indices_aux, memory_mask = model.forward_eval(
-            params, batch, val_mode
+            params, batch, val_mode,
+            faster_eval=faster_eval,
+            beam_size=beam_size,
+            length_penalty=length_penalty,
         )
         losses = criterion(out, batch, indices, indices_aux, memory_mask)
         total = sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)

@@ -29,7 +29,12 @@ import numpy as np
 
 from ..ops.segment_ops import denormalize_segments, inverse_sigmoid
 from .base_encoder import BaseEncoder, pyramid_shapes
-from .caption_decoder import UnimodalCaptionDecoder, greedy_decode, make_causal_mask
+from .caption_decoder import (
+    UnimodalCaptionDecoder,
+    beam_search_decode,
+    greedy_decode,
+    make_causal_mask,
+)
 from .layers import ContextMaskModel, FFN
 from .matcher import hungarian_match
 from .transformer import SparseDeformableTransformer, predict_event_num
@@ -430,9 +435,24 @@ class UnimodalDVC:
         memory_mask_float = crop_mask.astype(jnp.float32)
         return out, indices, indices_aux, memory_mask_float
 
-    def forward_eval(self, params, batch, val_mode: str = "one_by_one"):
+    def forward_eval(
+        self,
+        params,
+        batch,
+        val_mode: str = "one_by_one",
+        faster_eval: bool = False,
+        beam_size: int = 0,
+        length_penalty: float = 0.0,
+    ):
         """Returns (out, captions_with_eos (N, Lc[+1]), indices, indices_aux,
-        memory_mask_float)."""
+        memory_mask_float).
+
+        val_mode: 'one_by_one' (greedy; reference unimodal_sparse_dvc.py:111),
+        'teacher_forcing', 'beam' (beam-search decode, beyond the reference),
+        or 'serve' (greedy, no loss bookkeeping).
+        faster_eval: reference's raw-argmax greedy variant
+        (unimodal_sparse_dvc.py:334-351), applies to one_by_one/serve.
+        """
         out, indices, indices_aux = self._propose_and_match(
             params, batch, deterministic=True, with_aux=(val_mode != "serve")
         )
@@ -442,16 +462,24 @@ class UnimodalDVC:
         if pred_memory_mask is not None:
             out["pred_memory_mask"] = pred_memory_mask
 
-        if val_mode in ("one_by_one", "serve"):
+        if val_mode in ("one_by_one", "serve", "beam"):
             kv_dtype = (
                 jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
             )
-            captions_with_eos = greedy_decode(
-                self.caption_decoder, params["caption"],
-                memory_crop, caption_pad_mask,
-                self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
-                kv_dtype=kv_dtype,
-            )
+            if val_mode == "beam":
+                captions_with_eos = beam_search_decode(
+                    self.caption_decoder, params["caption"],
+                    memory_crop, caption_pad_mask,
+                    self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                    beam_size=beam_size or 4, length_penalty=length_penalty,
+                )
+            else:
+                captions_with_eos = greedy_decode(
+                    self.caption_decoder, params["caption"],
+                    memory_crop, caption_pad_mask,
+                    self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                    faster_eval=faster_eval, kv_dtype=kv_dtype,
+                )
             if val_mode == "serve":
                 # pure inference: skip the loss-only teacher-forced pass and
                 # aux bookkeeping entirely (serving configuration)

@@ -1,0 +1,255 @@
+"""Bridge to the reference PyTorch implementation (oracle execution only).
+
+Builds the reference ``UnimodalSparseDVC`` (models/sparse/unimodal_sparse_dvc.py)
+at arbitrary dims from our config and transplants our flax params into its
+state_dict, so the two systems can be compared head-to-head on identical
+weights — teacher-forcing logits, greedy tokens, and full METEOR/CIDEr
+submissions (tools/quality_compare.py). Generalizes the fixed-dims transplant
+from tests/test_full_model_parity.py.
+
+The reference tree is imported for *execution as an oracle*, never copied.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict
+
+
+def make_reference_importable(ref_root: str = "/root/reference") -> None:
+    """Stub the heavy modules absent from this image and add the reference
+    tree to sys.path."""
+    from unittest import mock
+
+    tv = mock.MagicMock()
+    tv.__version__ = "0.15.0"
+    sys.modules.setdefault("torchvision", tv)
+    for name in (
+        "torchaudio", "torchaudio.compliance", "torchaudio.compliance.kaldi",
+        "wandb", "timm",
+    ):
+        sys.modules.setdefault(name, mock.MagicMock())
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+
+
+def build_reference_model(cfg, vocab, embedding_matrix=None):
+    """Reference UnimodalSparseDVC with dims mirrored from our config tree
+    (reference models/__init__.py:34-77 builder semantics)."""
+    import ml_collections
+
+    make_reference_importable()
+    from models.matcher import HungarianMatcher  # noqa: E402 (reference)
+    from models.sparse.unimodal_sparse_dvc import UnimodalSparseDVC  # noqa: E402
+
+    det = cfg.dvc.detr
+    sd = ml_collections.ConfigDict()
+    sd.feature_dim = det.feature_dim
+    sd.d_model = det.d_model
+    sd.num_heads = det.num_heads
+    sd.num_feature_levels = det.num_feature_levels
+    sd.dec_n_points = det.dec_n_points
+    sd.enc_n_points = det.enc_n_points
+    sd.enc_layers = det.enc_layers
+    sd.dec_layers = det.dec_layers
+    sd.transformer_dropout_prob = 0.0
+    sd.transformer_ff_dim = det.transformer_ff_dim
+    sd.video_rescale_len = det.video_rescale_len
+    sd.rho = det.rho
+    sd.use_enc_aux_loss = det.use_enc_aux_loss
+    sd.return_intermediate = det.return_intermediate
+    sd.eff_query_init = False
+    sd.eff_specific_head = False
+
+    c = cfg.dvc.caption
+    cap = ml_collections.ConfigDict()
+    cap.d_model = c.d_model
+    cap.depth = c.depth
+    cap.num_heads = c.num_heads
+    cap.mlp_ratio = c.mlp_ratio
+    cap.qkv_bias = c.qkv_bias
+    cap.positional_embedding_dropout = 0.0
+    cap.attention_dropout = 0.0
+    cap.projection_dropout = 0.0
+    cap.bridge_dropout = 0.0
+    cap.mlp_dropout_1 = 0.0
+    cap.mlp_dropout_2 = 0.0
+    cap.pre_norm = c.pre_norm
+    cap.model_official = None
+    cap.weight_init = False
+    cap.weight_load = False
+    cap.emb_weights_req_grad = c.emb_weights_req_grad
+    cap.return_intermediate = c.return_intermediate
+
+    m = cfg.dvc.matcher
+    matcher = HungarianMatcher(
+        m.cost_class, m.cost_segment, m.cost_giou, m.cost_alpha, m.cost_gamma
+    )
+    model = UnimodalSparseDVC(
+        input_modalities=["video"],
+        num_queries=cfg.dvc.num_queries,
+        d_model=cfg.dvc.d_model,
+        num_classes=cfg.dvc.num_classes,
+        aux_loss=cfg.dvc.aux_loss,
+        matcher=matcher,
+        threshold=cfg.dvc.threshold,
+        max_eseq_length=cfg.dvc.max_eseq_length,
+        vocab=vocab,
+        seq_len=cfg.dataset.activity_net.max_caption_len_all,
+        embedding_matrix=embedding_matrix,
+        sparse_detr_args=sd,
+        caption_args=cap,
+        use_differentiable_mask=False,
+    )
+    model.eval()
+    return model
+
+
+# -- weight transplant: flax params -> torch state_dict -------------------------
+
+
+def _t(a):
+    import numpy as np
+    import torch
+
+    return torch.from_numpy(np.array(a))
+
+
+def _dense(sd, torch_name, p):
+    sd[f"{torch_name}.weight"] = _t(p["kernel"]).T.contiguous()
+    if "bias" in p:
+        sd[f"{torch_name}.bias"] = _t(p["bias"])
+
+
+def _ln(sd, torch_name, p):
+    sd[f"{torch_name}.weight"] = _t(p["scale"])
+    sd[f"{torch_name}.bias"] = _t(p["bias"])
+
+
+def _cross_attention(sd, torch_name, p):
+    _dense(sd, f"{torch_name}.q_linear", p["q_linear"])
+    _dense(sd, f"{torch_name}.k_linear", p["k_linear"])
+    _dense(sd, f"{torch_name}.v_linear", p["v_linear"])
+    _dense(sd, f"{torch_name}.projection_layer", p["projection_layer"])
+
+
+def _msda(sd, torch_name, p):
+    for sub in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+        _dense(sd, f"{torch_name}.{sub}", p[sub])
+
+
+def _mha(sd, torch_name, p):
+    import torch
+
+    wq = _t(p["q_linear"]["kernel"]).T
+    wk = _t(p["k_linear"]["kernel"]).T
+    wv = _t(p["v_linear"]["kernel"]).T
+    sd[f"{torch_name}.in_proj_weight"] = torch.cat([wq, wk, wv]).contiguous()
+    sd[f"{torch_name}.in_proj_bias"] = torch.cat(
+        [_t(p["q_linear"]["bias"]), _t(p["k_linear"]["bias"]), _t(p["v_linear"]["bias"])]
+    )
+    _dense(sd, f"{torch_name}.out_proj", p["projection_layer"])
+
+
+def transplant(params, cfg) -> Dict:
+    """flax params pytree -> reference state_dict (all dims from cfg)."""
+    det = cfg.dvc.detr
+    sd: Dict = {}
+    pp = params["proposal"]["params"]
+    sd["query_embedding.weight"] = _t(pp["query_embedding"])
+    for enc_dec, pname in (("encoder", "segment_embedding_encoder"),
+                           ("decoder", "segment_embedding_decoder")):
+        if pname in pp:  # encoder heads exist only with use_enc_aux_loss
+            for i in range(3):
+                _dense(sd, f"segment_embedding_{enc_dec}.layers.{i}", pp[pname][f"layers_{i}"])
+    if "count_head_encoder" in pp:
+        _dense(sd, "count_head_encoder", pp["count_head_encoder"])
+    _dense(sd, "count_head_decoder", pp["count_head_decoder"])
+
+    be = pp["base_encoder"]
+    _dense(sd, "pos_embed.duration_embed_layer", be["pos_embed"]["duration_embed_layer"])
+    for lvl in range(det.num_feature_levels):
+        k = _t(be[f"input_proj_{lvl}"]["kernel"])  # (k, in, out)
+        sd[f"base_encoder.input_proj.{lvl}.0.weight"] = k.permute(2, 1, 0).contiguous()
+        sd[f"base_encoder.input_proj.{lvl}.0.bias"] = _t(be[f"input_proj_{lvl}"]["bias"])
+        sd[f"base_encoder.input_proj.{lvl}.1.weight"] = _t(be[f"gn_{lvl}"]["scale"])
+        sd[f"base_encoder.input_proj.{lvl}.1.bias"] = _t(be[f"gn_{lvl}"]["bias"])
+
+    tr = pp["transformer"]
+    pre = "unimodal_sparse_transformer"
+    sd[f"{pre}.level_embed"] = _t(tr["level_embed"])
+    _dense(sd, f"{pre}.enc_output", tr["enc_output"])
+    _ln(sd, f"{pre}.enc_output_norm", tr["enc_output_norm"])
+    _dense(sd, f"{pre}.reference_points", tr["reference_points_head"])
+    mp = tr["enc_mask_predictor"]
+    _ln(sd, f"{pre}.enc_mask_predictor.layer1.0", mp["norm"])
+    _dense(sd, f"{pre}.enc_mask_predictor.layer1.1", mp["dense_in"])
+    _dense(sd, f"{pre}.enc_mask_predictor.layer2.0", mp["dense_1"])
+    _dense(sd, f"{pre}.enc_mask_predictor.layer2.2", mp["dense_2"])
+    _dense(sd, f"{pre}.enc_mask_predictor.layer2.4", mp["dense_out"])
+
+    # with use_enc_aux_loss the torch model aliases the encoder heads into the
+    # transformer encoder (unimodal_sparse_dvc.py:85-87); state_dict then
+    # carries both names for the same tensors
+    if det.use_enc_aux_loss and "segment_embedding_encoder" in pp:
+        for i in range(3):
+            _dense(sd, f"{pre}.encoder.segment_embedding.layers.{i}",
+                   pp["segment_embedding_encoder"][f"layers_{i}"])
+        _dense(sd, f"{pre}.encoder.count_head", pp["count_head_encoder"])
+
+    for i in range(det.enc_layers):
+        lp = tr[f"enc_layers_{i}"]
+        base = f"{pre}.encoder.layers.{i}"
+        _msda(sd, f"{base}.self_attn", lp["self_attn"])
+        _ln(sd, f"{base}.norm1", lp["norm1"])
+        _ln(sd, f"{base}.norm2", lp["norm2"])
+        _dense(sd, f"{base}.linear1", lp["linear1"])
+        _dense(sd, f"{base}.linear2", lp["linear2"])
+    for i in range(det.dec_layers):
+        lp = tr[f"dec_layers_{i}"]
+        base = f"{pre}.decoder.layers.{i}"
+        _msda(sd, f"{base}.cross_attn", lp["cross_attn"])
+        _mha(sd, f"{base}.self_attn", lp["self_attn"])
+        _ln(sd, f"{base}.norm1", lp["norm1"])
+        _ln(sd, f"{base}.norm2", lp["norm2"])
+        _ln(sd, f"{base}.norm3", lp["norm3"])
+        _dense(sd, f"{base}.linear1", lp["linear1"])
+        _dense(sd, f"{base}.linear2", lp["linear2"])
+
+    cp = params["caption"]["params"]
+    sd["unimodal_caption_decoder.target_embedding.embedder.weight"] = _t(
+        cp["target_embedding"]["Embed_0"]["embedding"]
+    )
+    for i in range(cfg.dvc.caption.depth):
+        lp = cp[f"decoder_{i}"]
+        base = f"unimodal_caption_decoder.decoder.{i}"
+        _cross_attention(sd, f"{base}.self_attention", lp["self_attention"])
+        _cross_attention(sd, f"{base}.cross_attention", lp["cross_attention"])
+        for j in (1, 2, 3):
+            _ln(sd, f"{base}.layer_norm_{j}", lp[f"layer_norm_{j}"])
+        _dense(sd, f"{base}.mlp.fully_connected_1", lp["mlp"]["fully_connected_1"])
+        _dense(sd, f"{base}.mlp.fully_connected_2", lp["mlp"]["fully_connected_2"])
+    _dense(sd, "unimodal_caption_decoder.head", cp["head"])
+    return sd
+
+
+# torch-side params the reference never uses on the eval path
+_UNUSED_PREFIXES = (
+    "context_mask_model",
+    "unimodal_caption_decoder.positional_encoding",
+)
+
+
+def load_into_reference(ref_model, state_dict) -> None:
+    """Strict-for-used-params load of a transplanted state_dict."""
+    allowed = _UNUSED_PREFIXES
+    # the torch model always instantiates the enc-aux heads; they exist in our
+    # params (and the transplant) only when use_enc_aux_loss is on
+    if "segment_embedding_encoder.layers.0.weight" not in state_dict:
+        allowed = allowed + ("segment_embedding_encoder", "count_head_encoder")
+    missing, unexpected = ref_model.load_state_dict(state_dict, strict=False)
+    used_missing = [m for m in missing if not m.startswith(allowed)]
+    if unexpected:
+        raise ValueError(f"unexpected keys in transplant: {unexpected[:5]}")
+    if used_missing:
+        raise ValueError(f"reference params not covered: {used_missing[:5]}")

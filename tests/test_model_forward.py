@@ -142,3 +142,27 @@ def test_eval_teacher_forcing(setup):
     out, captions, *_ = model.forward_eval(params, batch, "teacher_forcing")
     Lc = cfg.dataset.activity_net.max_caption_len_all
     assert captions.shape == (batch["cap_tokens"].shape[0] * batch["cap_tokens"].shape[1], Lc - 1)
+
+
+def test_eval_forward_beam_and_faster_eval(setup):
+    """val_mode='beam' and faster_eval are reachable from the public eval API
+    (reference exposes faster_eval at the model API, unimodal_sparse_dvc.py:111)."""
+    cfg, model, batch, params = setup
+    B = batch["video_tensor"].shape[0]
+    G = cfg.dataset.activity_net.max_gt_target_segments
+    Lc = cfg.dataset.activity_net.max_caption_len_all
+
+    _, caps_beam, *_ = jax.jit(
+        lambda p, b: model.forward_eval(p, b, "beam", beam_size=3)
+    )(params, batch)
+    assert caps_beam.shape == (B * G, Lc + 1)
+    assert (np.asarray(caps_beam)[:, 0] == BOS).all()
+
+    _, caps_fast, *_ = jax.jit(
+        lambda p, b: model.forward_eval(p, b, "one_by_one", faster_eval=True)
+    )(params, batch)
+    caps_fast = np.asarray(caps_fast)
+    assert caps_fast.shape == (B * G, Lc + 1)
+    # faster_eval appends an unconditional <eos> column (reference :348-351)
+    assert (caps_fast[:, -1] == EOS).all()
+    # raw argmax: no frozen-after-eos <pad> fill requirement

@@ -1,0 +1,305 @@
+"""Quality north star: same-scorer METEOR/CIDEr comparison, ours vs reference.
+
+Runs BOTH systems over the same real-annotation ActivityNet val subset with
+identical weights and identical inputs, and scores both submissions with the
+same evaluator (evaluation/anet_eval.py):
+
+  1. build vocab + datasets from the real annotations
+     (/root/reference/anet_data fallback wired into config/defaults.py);
+     video features are the deterministic synthetic backend — identical
+     arrays feed both models, so caption/segment deltas isolate *model
+     implementation* differences, which is what the <=0.1 criterion needs;
+  2. optionally train our flagship model for a few epochs (TPU);
+  3. transplant the resulting params into the actual reference PyTorch
+     UnimodalSparseDVC (utils/ref_bridge.py) and run its own eval path
+     (engine.py:236-249 submission pairing) on CPU;
+  4. run our jitted eval path on the same collated batches;
+  5. score both submissions with the same scorer + seeded garbage strings and
+     write QUALITY.md with the per-metric deltas.
+
+MSDA backend is pinned to 'gather' (exact, bit-matching the reference's
+sampling) so the comparison measures design parity, not the documented
+matmul-backend quantization.
+
+Usage: python tools/quality_compare.py --n-videos 200 --train-epochs 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-videos", type=int, default=200,
+                   help="deterministic val subset size (sorted keys)")
+    p.add_argument("--train-epochs", type=int, default=1,
+                   help="brief training of our model before the comparison")
+    p.add_argument("--train-videos", type=int, default=2000,
+                   help="train subset size (sorted keys); 0 = all")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--out", default="QUALITY.md")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip-torch", action="store_true",
+                   help="only produce our submission + scores (debugging)")
+    return p.parse_args()
+
+
+def build_world(args):
+    from multimodal_feature_learning_tpu.config import load_config_train
+    from multimodal_feature_learning_tpu.data.anet import build_dataset
+    from multimodal_feature_learning_tpu.data.loader import DataLoader
+    from multimodal_feature_learning_tpu.models.dvc import build_model
+
+    cfg = load_config_train()
+    cfg.batch_size = args.batch_size
+    cfg.seed = args.seed
+    cfg.save_submission = False
+    cfg.msda_backend = "gather"          # exact sampling, matches reference
+    cfg.use_differentiable_mask = False  # crop-mask caption path on both sides
+    cfg.dvc.losses = ["labels", "segments", "captions", "mask_prediction"]
+
+    train_ds, vocab = build_dataset("train", cfg)
+    val_ds, _ = build_dataset("val", cfg, vocab)
+    if args.train_videos:
+        train_ds.keys = sorted(train_ds.keys)[: args.train_videos]
+    val_ds.keys = sorted(val_ds.keys)[: args.n_videos]
+
+    anet = cfg.dataset.activity_net
+    mk_loader = lambda ds, shuffle: DataLoader(  # noqa: E731
+        ds, cfg.batch_size, vocab.pad_idx,
+        video_rescale_len=anet.video_rescale_len,
+        max_gt=anet.max_gt_target_segments,
+        max_caption_len=anet.max_caption_len_all,
+        shuffle=shuffle, seed=cfg.seed,
+    )
+    model = build_model(cfg, len(vocab), vocab.pad_idx, vocab.bos_idx, vocab.eos_idx)
+    return cfg, vocab, model, mk_loader(train_ds, True), mk_loader(val_ds, False), val_ds
+
+
+def train_briefly(cfg, model, loader, mesh, epochs: int):
+    import jax
+
+    from multimodal_feature_learning_tpu.data.loader import split_batch
+    from multimodal_feature_learning_tpu.engine.state import (
+        create_train_state, make_optimizer,
+    )
+    from multimodal_feature_learning_tpu.engine.train import (
+        make_train_step, train_one_epoch,
+    )
+    from multimodal_feature_learning_tpu.models.criterion import (
+        SetCriterion, build_weight_dict,
+    )
+    from multimodal_feature_learning_tpu.parallel.mesh import replicate_params
+
+    batch0 = next(iter(loader))
+    arrays, _ = split_batch(batch0)
+    params = model.init(jax.random.PRNGKey(cfg.seed), arrays)
+    params = replicate_params(params, mesh)
+
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=list(cfg.dvc.losses), pad_idx=1, smoothing=cfg.dvc.smoothing,
+    )
+    if epochs == 0:
+        return params, criterion, weight_dict
+
+    tx = make_optimizer(cfg, steps_per_epoch=len(loader))
+    state = create_train_state(params, tx)
+    step = make_train_step(model, criterion, weight_dict, tx)
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        state, stats = train_one_epoch(
+            model, criterion, weight_dict, step, state, loader, mesh,
+            jax.random.PRNGKey(cfg.seed), epoch=epoch, print_freq=20,
+        )
+        print(f"[train] epoch {epoch}: loss={stats['loss']:.4f}")
+    return state.params, criterion, weight_dict
+
+
+def our_submission(cfg, model, params, criterion, weight_dict, loader, mesh, vocab):
+    from multimodal_feature_learning_tpu.engine.evaluate import (
+        evaluate, make_eval_step,
+    )
+
+    eval_step = make_eval_step(model, criterion, weight_dict, "one_by_one")
+    stats, submission, _ = evaluate(
+        model, criterion, weight_dict, eval_step, params, loader, mesh,
+        vocab, cfg, epoch=0, score_fn=None,
+    )
+    return submission
+
+
+def torch_submission(cfg, model_params, loader, vocab):
+    """Reference torch model on the same collated batches; submission built
+    exactly as the reference engine does (engine.py:236-249: captions paired
+    with denormalized matched segments in (batch, src)-ascending order)."""
+    import jax
+    import torch
+
+    from multimodal_feature_learning_tpu.data.loader import split_batch
+    from multimodal_feature_learning_tpu.utils.postprocess import (
+        captions_to_string, get_sample_submission,
+    )
+    from multimodal_feature_learning_tpu.utils.ref_bridge import (
+        build_reference_model, load_into_reference, transplant,
+    )
+
+    ref = build_reference_model(cfg, vocab)
+    load_into_reference(ref, transplant(jax.device_get(model_params), cfg))
+    T = cfg.dataset.activity_net.video_rescale_len
+
+    submission = get_sample_submission()
+    t0 = time.time()
+    for bi, batch in enumerate(loader):
+        arrays, meta = split_batch(batch)
+        n_real = len(meta["keys"])
+        gt_mask = np.asarray(arrays["gt_mask"][:n_real])
+        durations = np.asarray(arrays["durations"][:n_real])
+
+        cap_rows = [
+            arrays["cap_tokens"][b, g]
+            for b in range(n_real)
+            for g in range(gt_mask.shape[1])
+            if gt_mask[b, g]
+        ]
+        obj = {
+            "video_tensor": torch.from_numpy(np.asarray(arrays["video_tensor"][:n_real])),
+            "video_mask": torch.from_numpy(np.asarray(arrays["video_mask"][:n_real])),
+            "video_length": torch.tensor(
+                [[float(T), float(durations[b]), float(gt_mask[b].sum())]
+                 for b in range(n_real)], dtype=torch.float32,
+            ),
+            "video_key": list(meta["keys"]),
+            "video_target": [
+                {
+                    "segments": torch.from_numpy(
+                        np.asarray(arrays["gt_segments"][b][gt_mask[b]])
+                    ).float(),
+                    "labels": torch.from_numpy(
+                        np.asarray(arrays["gt_labels"][b][gt_mask[b]])
+                    ).long(),
+                    "masks": None,
+                    "vid_id": meta["keys"][b],
+                }
+                for b in range(n_real)
+            ],
+            "cap_tensor": torch.from_numpy(np.stack(cap_rows)).long(),
+        }
+        obj["cap_mask"] = obj["cap_tensor"] == vocab.pad_idx
+
+        with torch.no_grad():
+            ref_out, ref_caps, ref_indices, *_ = ref(
+                obj, is_training=False, faster_eval=False, val_mode="one_by_one"
+            )
+
+        strings = captions_to_string(np.asarray(ref_caps), vocab)
+        i = 0
+        for b, (src, _tgt) in enumerate(ref_indices):
+            key = meta["keys"][b]
+            d = float(durations[b])
+            results = submission["results"].setdefault(key, [])
+            for q in src.numpy():
+                c, l = ref_out["pred_segments"][b, int(q)].numpy()
+                start = float(np.clip(d / 2 * (2 * c - l), 0.0, d))
+                end = float(np.clip(d / 2 * (2 * c + l), 0.0, d))
+                results.append(
+                    {"sentence": strings[i],
+                     "timestamp": [min(start, end), max(start, end)]}
+                )
+                i += 1
+        print(f"[torch] batch {bi + 1}: {time.time() - t0:.1f}s elapsed")
+    return submission
+
+
+def score(cfg, submission, gt_path: str, seed: int = 1234):
+    from multimodal_feature_learning_tpu.evaluation import run_eval
+    from multimodal_feature_learning_tpu.utils.postprocess import pprint_eval_scores
+
+    random.seed(seed)  # deterministic garbage strings for unmatched preds
+    scores = run_eval(cfg.eval, submission, gt_path)
+    return pprint_eval_scores(scores, debug=False)
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from multimodal_feature_learning_tpu.parallel.mesh import make_mesh
+
+    cfg, vocab, model, train_loader, val_loader, val_ds = build_world(args)
+    print(f"vocab: {len(vocab)}  train: {len(train_loader.dataset)} videos  "
+          f"val subset: {len(val_ds)} videos  backend: {cfg.msda_backend}")
+    mesh = make_mesh()
+
+    params, criterion, weight_dict = train_briefly(
+        cfg, model, train_loader, mesh, args.train_epochs
+    )
+
+    t0 = time.time()
+    sub_ours = our_submission(
+        cfg, model, params, criterion, weight_dict, val_loader, mesh, vocab
+    )
+    t_ours = time.time() - t0
+    print(f"[ours] eval done in {t_ours:.1f}s")
+
+    gt_path = os.path.join(
+        cfg.dataset.activity_net.anet_path, "val_data_1_with_action_classes.json"
+    )
+    rows = {}
+    rows["ours (TPU, gather)"] = score(cfg, sub_ours, gt_path)
+
+    if not args.skip_torch:
+        t0 = time.time()
+        sub_ref = torch_submission(cfg, params, val_loader, vocab)
+        t_ref = time.time() - t0
+        print(f"[torch reference] eval done in {t_ref:.1f}s")
+        rows["reference (torch, transplanted)"] = score(cfg, sub_ref, gt_path)
+
+    metrics = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+               "CIDEr", "Recall", "Precision"]
+    lines = [
+        "# Quality comparison: ours vs weight-transplanted reference",
+        "",
+        f"Same weights, same inputs (deterministic synthetic features + real "
+        f"ActivityNet annotations), same scorer, val subset = first "
+        f"{args.n_videos} sorted val_1 videos, trained {args.train_epochs} "
+        f"epoch(s) on {args.train_videos or 'all'} train videos, "
+        f"msda_backend=gather. Scores are the evaluator's percentage "
+        f"convention (x100), averaged over tIoU {list(cfg.eval.tious)}.",
+        "",
+        "| metric | " + " | ".join(rows.keys()) + " | delta |",
+        "|---|" + "---|" * (len(rows) + 1),
+    ]
+    for m in metrics:
+        vals = [rows[r].get(m, float("nan")) for r in rows]
+        delta = abs(vals[0] - vals[1]) if len(vals) == 2 else float("nan")
+        lines.append(
+            f"| {m} | " + " | ".join(f"{v:.4f}" for v in vals) + f" | {delta:.4f} |"
+        )
+    lines += [
+        "",
+        "North-star criterion (BASELINE.md): |delta METEOR| and "
+        "|delta CIDEr| <= 0.1 on the reported x100 scale above.",
+        "",
+        f"Generated by tools/quality_compare.py "
+        f"--n-videos {args.n_videos} --train-epochs {args.train_epochs} "
+        f"--train-videos {args.train_videos} --seed {args.seed}",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,14 @@ def main():
     if args.synthetic:
         cfg = make_synthetic_world(cfg)
     cfg = apply_overrides(cfg, args.config_overrides)
+    # losses follow the family/mask flags (reference config_dvc_train.py:152-159);
+    # recompute after overrides so flag flips keep them consistent
+    losses = ["labels", "segments", "captions"]
+    if cfg.use_differentiable_mask:
+        losses.append("contexts")
+    if cfg.dvc.use_sparse_detr:
+        losses.append("mask_prediction")
+    cfg.dvc.losses = losses
     if args.epochs is not None:
         cfg.epochs = args.epochs
     if args.batch_size is not None:
@@ -117,17 +125,37 @@ def main():
     np.random.seed(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    # data
-    train_ds, vocab = build_dataset("train", cfg)
-    val_ds, _ = build_dataset("val", cfg, vocab)
+    # data (feature pipeline, or raw decode pipeline when use_raw_videos)
     anet = cfg.dataset.activity_net
-    mk_loader = lambda ds, shuffle: DataLoader(
-        ds, cfg.batch_size, vocab.pad_idx,
-        video_rescale_len=anet.video_rescale_len,
-        max_gt=anet.max_gt_target_segments,
-        max_caption_len=anet.max_caption_len_all,
-        shuffle=shuffle, seed=cfg.seed,
-    )
+    if cfg.use_raw_videos:
+        from functools import partial
+
+        from multimodal_feature_learning_tpu.data.raw_anet import (
+            build_raw_dataset,
+            collate_raw,
+        )
+
+        train_ds, vocab = build_raw_dataset("train", cfg)
+        val_ds, _ = build_raw_dataset("val", cfg, vocab)
+        raw_collate = partial(
+            collate_raw, pad_idx=vocab.pad_idx,
+            max_gt=anet.max_gt_target_segments,
+            max_caption_len=anet.max_caption_len_all,
+        )
+        mk_loader = lambda ds, shuffle: DataLoader(
+            ds, cfg.batch_size, vocab.pad_idx,
+            shuffle=shuffle, seed=cfg.seed, collate_fn=raw_collate,
+        )
+    else:
+        train_ds, vocab = build_dataset("train", cfg)
+        val_ds, _ = build_dataset("val", cfg, vocab)
+        mk_loader = lambda ds, shuffle: DataLoader(
+            ds, cfg.batch_size, vocab.pad_idx,
+            video_rescale_len=anet.video_rescale_len,
+            max_gt=anet.max_gt_target_segments,
+            max_caption_len=anet.max_caption_len_all,
+            shuffle=shuffle, seed=cfg.seed,
+        )
     train_loader = mk_loader(train_ds, True)
     val_loader = mk_loader(val_ds, False)
     print(f"train videos: {len(train_ds)}  val videos: {len(val_ds)}  vocab: {len(vocab)}")
@@ -188,17 +216,33 @@ def main():
         except ImportError:
             print("wandb requested but not installed; continuing without it")
 
+    step_logger = None
+    if wandb is not None:
+        # per-step metric stream (reference engine.py:299-314)
+        step_logger = lambda log, step: wandb.log(
+            {f"train_step/{k}": v for k, v in log.items()}, step=step
+        )
+
+    def version_checkpoint(path, epoch):
+        """wandb artifact versioning (reference main.py:137-141)."""
+        if wandb is None or path is None:
+            return
+        art = wandb.Artifact("model-checkpoint", type="model")
+        art.add_dir(path)
+        wandb.log_artifact(art, aliases=["latest", f"epoch-{epoch}"])
+
     print("Start training")
     t_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         state, train_stats = train_one_epoch(
             model, criterion, weight_dict, train_step, state, train_loader,
-            mesh, rng, epoch, cfg.print_freq,
+            mesh, rng, epoch, cfg.print_freq, step_logger=step_logger,
         )
-        save_checkpoint(cfg.output_dir, state, epoch)
+        ckpt_path = save_checkpoint(cfg.output_dir, state, epoch)
         if (epoch + 1) % cfg.checkpoint_rate == 0 or (epoch + 1) % cfg.lr_drop == 0:
             save_checkpoint(cfg.output_dir, state, epoch, name=f"checkpoint{epoch:04d}")
+            version_checkpoint(ckpt_path, epoch)
 
         log_stats = {f"train_{k}": v for k, v in train_stats.items()}
         log_stats.update({"epoch": epoch})

@@ -83,6 +83,7 @@ def load_config_train() -> ml_collections.ConfigDict:
     anet.max_gt_target_segments = 10
     anet.num_classes = 200
     anet.raw_video_folder = ""
+    anet.raw_audio_folder = ""   # optional wav sidecars for the opencv decoder
 
     # -- DVC model ---------------------------------------------------------------
     dvc = cfg.dvc = ml_collections.ConfigDict()

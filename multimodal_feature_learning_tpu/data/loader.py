@@ -46,6 +46,7 @@ class DataLoader:
         pad_batches: bool = True,
         num_prefetch: int = 2,
         audio_rescale_len: int = 0,
+        collate_fn=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +60,7 @@ class DataLoader:
         self.pad_batches = pad_batches
         self.num_prefetch = num_prefetch
         self.audio_rescale_len = audio_rescale_len
+        self.collate_fn = collate_fn  # None = standard fixed-shape collate
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -87,15 +89,18 @@ class DataLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             samples = [self.dataset[int(i)] for i in chunk]
-            batch = collate_fixed(
-                samples,
-                self.pad_idx,
-                self.video_rescale_len,
-                self.max_gt,
-                self.max_caption_len,
-                pad_to_batch=self.batch_size if self.pad_batches else 0,
-                audio_rescale_len=self.audio_rescale_len,
-            )
+            if self.collate_fn is not None:
+                batch = self.collate_fn(samples)
+            else:
+                batch = collate_fixed(
+                    samples,
+                    self.pad_idx,
+                    self.video_rescale_len,
+                    self.max_gt,
+                    self.max_caption_len,
+                    pad_to_batch=self.batch_size if self.pad_batches else 0,
+                    audio_rescale_len=self.audio_rescale_len,
+                )
             if batch is not None:
                 yield batch
 

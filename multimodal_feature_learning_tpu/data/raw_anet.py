@@ -38,6 +38,86 @@ def synthetic_decoder(frame_size: int = 128, fps: float = 4.0, sample_rate: int 
     return decode
 
 
+def opencv_decoder(
+    video_folder: str,
+    audio_folder: str = "",
+    extensions=(".mp4", ".mkv", ".webm", ".avi", ".mov"),
+    max_frames: int = 0,
+):
+    """Real video decoder backed by OpenCV's bundled ffmpeg
+    (import-guarded; torchvision.io/pyav are absent from this image).
+
+    Matches reference anet_with_raw_video_audio.py:242-246: resolves
+    ``video_folder/<key>.<ext>``, decodes all frames as RGB uint8. Audio:
+    cv2 cannot demux audio tracks, so the waveform comes from an optional
+    sidecar ``audio_folder/<key>.wav`` (stdlib wave reader); absent sidecar
+    -> empty waveform, which drops the clip in the audio pipeline exactly
+    like the reference's empty-audio branch (:248-250).
+
+    Returns a decoder callable (key, duration) -> (frames, wave, sample_rate).
+    """
+    import cv2  # import-guarded at call time by the builder below
+
+    def _resolve(folder: str, key: str, exts):
+        import os
+
+        for ext in exts:
+            p = os.path.join(folder, key + ext)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def decode(key: str, duration: float):
+        path = _resolve(video_folder, key, extensions)
+        if path is None:
+            raise FileNotFoundError(f"no video file for {key!r} in {video_folder}")
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[..., ::-1])  # BGR -> RGB
+            if max_frames and len(frames) >= max_frames:
+                break
+        cap.release()
+        if not frames:
+            raise IOError(f"decoded 0 frames from {path}")
+        frames = np.stack(frames).astype(np.uint8)
+
+        wave_arr = np.zeros((0,), dtype=np.float32)
+        sr = 16000
+        if audio_folder:
+            wav_path = _resolve(audio_folder, key, (".wav",))
+            if wav_path is not None:
+                import wave as wave_mod
+
+                with wave_mod.open(wav_path, "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+                    if w.getnchannels() > 1:
+                        raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+                    wave_arr = raw.astype(np.float32) / 32768.0
+        return frames, wave_arr, sr
+
+    return decode
+
+
+def build_decoder(cfg_anet, with_audio: bool):
+    """Pluggable decoder resolution: a real opencv backend when a raw video
+    folder is configured and cv2 imports, else the synthetic decoder."""
+    folder = getattr(cfg_anet, "raw_video_folder", "")
+    if folder:
+        try:
+            return opencv_decoder(
+                folder, audio_folder=getattr(cfg_anet, "raw_audio_folder", "")
+            )
+        except ImportError:
+            pass
+    return synthetic_decoder()
+
+
 class RawActivityNetDataset(ActivityNetDataset):
     """Same annotation/caption handling as the feature dataset; emits raw
     frames + waveform instead of precomputed features."""
@@ -142,3 +222,53 @@ def collate_raw(
         out["audio_tensor"] = np.stack([s["audio_feature"] for s in samples])
         out["audio_mask"] = np.zeros(out["audio_tensor"].shape[:2], dtype=bool)
     return out
+
+
+def build_raw_dataset(split: str, cfg, vocab=None):
+    """Raw-video analog of data.anet.build_dataset: resolve the split's
+    annotation file, build/cache the vocab, attach the configured decoder
+    (reference dataset/anet_with_raw_video_audio.py:404-451 builder)."""
+    import json
+    import os
+
+    from .anet import build_dataset as _build_feature_dataset
+    from .vocab import Vocab, build_vocab
+
+    anet = cfg.dataset.activity_net
+    fname = {
+        "train": "train.json",
+        "val": "val_data_1_with_action_classes.json",
+        "test": "val_data_2.json",
+    }[split]
+    annotation_file = os.path.join(anet.anet_path, fname)
+
+    if vocab is None:
+        vpath = anet.vocab_file_path
+        if vpath and os.path.exists(vpath):
+            vocab = Vocab.load(vpath)
+        else:
+            with open(os.path.join(anet.anet_path, "train.json")) as f:
+                train_ann = json.load(f)
+            vocab = build_vocab(train_ann, anet.min_freq)
+            if vpath:
+                vocab.save(vpath)
+
+    with_audio = len(cfg.dvc.input_modalities) == 2
+    ds = RawActivityNetDataset(
+        annotation_file,
+        build_decoder(anet, with_audio),
+        vocab,
+        is_training=(split == "train"),
+        video_rescale_len=anet.video_rescale_len,
+        num_mel_bins=anet.num_mel_bins,
+        audio_target_length=anet.audio_target_length,
+        with_audio=with_audio,
+        max_gt_target_segments=anet.max_gt_target_segments,
+        max_caption_len=anet.max_caption_len_all,
+        invalid_videos_json=anet.invalid_videos_json,
+        for_testing=anet.for_testing,
+        num_samples=anet.num_samples,
+        num_classes=anet.num_classes,
+        seed=cfg.seed,
+    )
+    return ds, vocab

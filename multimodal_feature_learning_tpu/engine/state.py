@@ -64,12 +64,13 @@ def _ckptr():
 def save_checkpoint(output_dir: str, state: TrainState, epoch: int, name: str = "checkpoint"):
     """Rank-0 gated like save_on_master (utils/misc.py:431-433)."""
     if jax.process_index() != 0:
-        return
+        return None
     path = os.path.abspath(os.path.join(output_dir, name))
     ckptr = _ckptr()
     payload = {"state": jax.device_get(state), "epoch": epoch}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    return path
 
 
 def load_checkpoint(path: str, abstract_state: Optional[TrainState] = None) -> Dict:

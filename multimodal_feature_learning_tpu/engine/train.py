@@ -68,6 +68,7 @@ def train_one_epoch(
     print_freq: int = 10,
     grad_flow_dir: str = "",
     grad_flow_freq: int = 100,
+    step_logger=None,
 ):
     metric_logger = MetricLogger()
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -110,6 +111,9 @@ def train_one_epoch(
             and "_3" not in k and "_4" not in k and "_enc_" not in k
         }
         metric_logger.update(**log)
+        if step_logger is not None:
+            # per-step metric stream (reference engine.py:299-314 wandb logging)
+            step_logger(log, int(state.step))
 
     print("Averaged stats:", metric_logger)
     stats = {k: meter.global_avg for k, meter in metric_logger.meters.items()}

@@ -554,7 +554,7 @@ class MultimodalCaptionDecoder(nn.Module):
 
 def multimodal_greedy_decode(
     module, params, video_memory, video_mask, audio_memory, audio_mask,
-    seq_len, bos_idx, eos_idx, pad_idx,
+    seq_len, bos_idx, eos_idx, pad_idx, faster_eval=False,
 ):
     """KV-cached greedy decode for the multimodal decoder: fused
     commit+predict per step, memory k/v projected once per modality —
@@ -603,7 +603,8 @@ def multimodal_greedy_decode(
             method=_decode_pair,
         )
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(done, pad_idx, tok)
+        if not faster_eval:
+            tok = jnp.where(done, pad_idx, tok)
         captions = captions.at[:, t].set(tok)
         done = done | (tok == eos_idx)
         return (captions, done, k_caches, v_caches), None
@@ -611,8 +612,12 @@ def multimodal_greedy_decode(
     (captions, done, _, _), _ = jax.lax.scan(
         step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
     )
-    has_eos = jnp.any(captions == eos_idx, axis=1)
-    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    if faster_eval:
+        # reference appends an unconditional <eos> column (:348-351)
+        last = jnp.full((N,), eos_idx, dtype=jnp.int32)
+    else:
+        has_eos = jnp.any(captions == eos_idx, axis=1)
+        last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
     return jnp.concatenate([captions, last[:, None]], axis=1)
 
 
@@ -792,7 +797,18 @@ class MultimodalDVC:
         memory_mask = (v_mask.astype(jnp.float32), a_mask.astype(jnp.float32))
         return out, indices, indices_aux, memory_mask
 
-    def forward_eval(self, params, batch, val_mode: str = "one_by_one"):
+    def forward_eval(
+        self,
+        params,
+        batch,
+        val_mode: str = "one_by_one",
+        faster_eval: bool = False,
+        beam_size: int = 0,
+        length_penalty: float = 0.0,
+    ):
+        # faster_eval plumbed to the greedy loop; beam decode is not yet
+        # implemented for the dual-memory multimodal decoder (val_mode='beam'
+        # raises below rather than silently falling back)
         out, indices, indices_aux = self._propose_and_match(params, batch, True)
         (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred) = (
             self._prepare_caption_inputs(params, out, batch, indices)
@@ -813,6 +829,7 @@ class MultimodalDVC:
                 self.caption_decoder, params["caption"],
                 v_crop, v_cap_mask, a_crop, a_cap_mask,
                 self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                faster_eval=faster_eval,
             )
         elif val_mode == "teacher_forcing":
             captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)

@@ -263,7 +263,15 @@ class RegularDVC:
         out = self._finish(out, outputs_caption)
         return out, indices, indices_aux, crop_mask.astype(jnp.float32)
 
-    def forward_eval(self, params, batch, val_mode: str = "one_by_one"):
+    def forward_eval(
+        self,
+        params,
+        batch,
+        val_mode: str = "one_by_one",
+        faster_eval: bool = False,
+        beam_size: int = 0,
+        length_penalty: float = 0.0,
+    ):
         out, indices, indices_aux, mem, crop_mask, cap_mask = self._common(
             params, batch, True
         )
@@ -273,10 +281,19 @@ class RegularDVC:
             params["caption"], tgt, mem, make_causal_mask(self.seq_len - 1),
             tgt == self.pad_idx, cap_mask,
         )
-        if val_mode == "one_by_one":
+        if val_mode == "beam":
+            from .caption_decoder import beam_search_decode
+
+            captions_with_eos = beam_search_decode(
+                self.caption_decoder, params["caption"], mem, cap_mask,
+                self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                beam_size=beam_size or 4, length_penalty=length_penalty,
+            )
+        elif val_mode == "one_by_one":
             captions_with_eos = greedy_decode(
                 self.caption_decoder, params["caption"], mem, cap_mask,
                 self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                faster_eval=faster_eval,
             )
         else:
             captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)

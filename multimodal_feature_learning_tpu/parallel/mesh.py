@@ -23,9 +23,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize_distributed():
-    """jax.distributed.initialize() when launched multi-process (env-driven)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """jax.distributed.initialize() when launched multi-process (env-driven).
+
+    Replaces the reference's init_distributed_mode (utils/misc.py:436-458):
+    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID per
+    process (the torchrun RANK/WORLD_SIZE/MASTER_ADDR analog)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        already = getattr(jax.distributed.global_state, "client", None) is not None
+    if already:
+        return
+    # NOTE: must run before anything that initializes the XLA backend
+    # (jax.devices()/process_count() would lock in a single-process backend)
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
 
 
 def make_mesh(num_data: int = -1, num_model: int = 1, devices=None) -> Mesh:
@@ -58,6 +76,14 @@ def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
         dev = mesh.devices.reshape(-1)[0]
         return {k: jax.device_put(v, dev) for k, v in batch_arrays.items()}
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        # each process loads its own shard of the global batch (loader.py
+        # process-strided indices); assemble the global jax.Array from the
+        # per-process local data (the DistributedSampler + DDP analog)
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch_arrays.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch_arrays.items()}
 
 
@@ -65,4 +91,11 @@ def replicate_params(tree, mesh: Mesh):
     if mesh.size == 1:
         dev = mesh.devices.reshape(-1)[0]
         return jax.device_put(tree, dev)
-    return jax.device_put(tree, replicated(mesh))
+    rep = replicated(mesh)
+    if jax.process_count() > 1:
+        # identical host values on every process -> fully-replicated global
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(rep, np.asarray(a)),
+            tree,
+        )
+    return jax.device_put(tree, rep)

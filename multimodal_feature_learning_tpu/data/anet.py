@@ -55,7 +55,12 @@ class FeatureBackend:
     def get(self, key: str) -> np.ndarray:
         if self.h5 is not None:
             return np.asarray(self.h5[key]).astype(np.float32)
-        rng = np.random.default_rng(abs(hash(key)) % (2**32))
+        # crc32, NOT hash(): Python string hashing is randomized per process
+        # (PYTHONHASHSEED), which would give every jax.distributed worker —
+        # and every rerun — different synthetic features
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(key.encode()))
         return rng.normal(size=(self.synthetic_len, self.feature_dim)).astype(np.float32)
 
 

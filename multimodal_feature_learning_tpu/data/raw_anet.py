@@ -29,7 +29,10 @@ def synthetic_decoder(frame_size: int = 128, fps: float = 4.0, sample_rate: int 
     waveform float32, sample_rate). Stands in for torchvision.io.read_video."""
 
     def decode(key: str, duration: float):
-        rng = np.random.default_rng(abs(hash(key)) % (2**32))
+        import zlib
+
+        # crc32: process-stable, unlike PYTHONHASHSEED-randomized hash()
+        rng = np.random.default_rng(zlib.crc32(key.encode()))
         t = max(int(duration * fps), 2)
         frames = rng.integers(0, 255, size=(t, frame_size, frame_size, 3)).astype(np.uint8)
         wave = rng.normal(size=int(duration * sample_rate)).astype(np.float32) * 0.1

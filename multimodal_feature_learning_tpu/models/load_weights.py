@@ -116,7 +116,9 @@ def transplant_vit_to_vivit(
     reference loads those too only when architecture dims match)."""
     import jax
 
-    params = jax.tree_util.tree_map(np.asarray, vivit_params)
+    # np.array(copy=True): np.asarray of a jax.Array yields a READ-ONLY view,
+    # which breaks the in-place pos-embed surgery below
+    params = jax.tree_util.tree_map(lambda a: np.array(a), vivit_params)
     p = params["params"]
     tok = p["token_embeddings_layer"]["project_to_patch"]
     tok["kernel"] = inflate_patch_kernel_to_tubelet(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_caption_decoder import BOS, EOS, PAD, SEQ, build
 from multimodal_feature_learning_tpu.models.caption_decoder import (
@@ -33,6 +34,7 @@ def seq_logprob(module, params, memory, mem_mask, captions):
     return total
 
 
+@pytest.mark.slow
 def test_beam1_equals_greedy():
     module, params, memory, mem_mask = build()
     g = np.asarray(greedy_decode(module, params, memory, mem_mask, SEQ, BOS, EOS, PAD))

@@ -24,6 +24,8 @@ from multimodal_feature_learning_tpu.models.criterion import SetCriterion, build
 from multimodal_feature_learning_tpu.models.dvc import build_model
 from multimodal_feature_learning_tpu.parallel.mesh import make_mesh, replicate_params
 
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
+
 
 def small_cfg():
     cfg = load_config_train()

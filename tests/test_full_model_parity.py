@@ -33,6 +33,8 @@ import jax.numpy as jnp  # noqa: E402
 from multimodal_feature_learning_tpu.config import load_config_train  # noqa: E402
 from multimodal_feature_learning_tpu.models.dvc import build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
+
 # dims: tiny but structurally faithful (3 levels, 2+2 layers, sparse rho=0.5)
 B, T, DM, LVL, HEADS, ENC, DEC, CAPD, Q, G, LC, VOCAB = (
     2, 24, 64, 3, 2, 2, 2, 2, 6, 3, 8, 40

@@ -10,6 +10,8 @@ from multimodal_feature_learning_tpu.config import load_config_train
 from multimodal_feature_learning_tpu.models.criterion import SetCriterion, build_weight_dict
 from multimodal_feature_learning_tpu.models.dvc import build_model
 
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
+
 VOCAB = 60
 PAD, BOS, EOS = 1, 2, 3
 

@@ -9,6 +9,8 @@ from tests.test_model_forward import PAD, BOS, EOS, VOCAB, small_cfg, synthetic_
 from multimodal_feature_learning_tpu.models.criterion import SetCriterion, build_weight_dict
 from multimodal_feature_learning_tpu.models.multimodal import build_multimodal_model
 
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
+
 
 def mm_cfg():
     cfg = small_cfg()

@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_feature_learning_tpu.config import load_config_train
 from multimodal_feature_learning_tpu.data.raw_anet import (
@@ -15,6 +16,8 @@ from multimodal_feature_learning_tpu.data.raw_anet import (
 )
 from multimodal_feature_learning_tpu.data.vocab import build_vocab
 from multimodal_feature_learning_tpu.models.regular_dvc import build_regular_model
+
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
 
 ANN = {
     f"v_{i}": {

@@ -5,10 +5,13 @@ one jitted program."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_feature_learning_tpu.config import load_config_train
 from multimodal_feature_learning_tpu.data.audio import aframes_to_fbank
 from multimodal_feature_learning_tpu.models.multimodal import build_multimodal_model
+
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
 
 VOCAB, PAD, BOS, EOS = 50, 1, 2, 3
 

@@ -23,6 +23,7 @@ def reg_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_regular_dvc_train_and_eval():
     cfg = reg_cfg()
     model = build_regular_model(cfg, VOCAB, PAD, BOS, EOS)

@@ -4,11 +4,14 @@ must reproduce the single-layout results on the virtual 8-device mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tests.test_model_forward import PAD, BOS, EOS, VOCAB, small_cfg, synthetic_batch
 from multimodal_feature_learning_tpu.models.dvc import build_model
 from multimodal_feature_learning_tpu.parallel.mesh import make_mesh, replicate_params
+
+pytestmark = pytest.mark.slow  # heavy full-model/e2e (run with -m 'slow or not slow')
 
 
 def test_data_parallel_matches_single_device():

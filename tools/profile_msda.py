@@ -21,6 +21,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _timed(fn, args, iters, inner):
+    import time
+
+    # float() = host transfer = HARD sync. jax.block_until_ready does not
+    # actually wait on the axon tunnel platform (measured: constant wall time
+    # regardless of device work). The TPU executes in order, so blocking on
+    # each scalar result is correct and adds one RTT per dispatch, amortized
+    # by `inner` kernel invocations per dispatch.
+    float(fn(*args))  # compile
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(iters):
+        acc += float(fn(*args))
+    return (time.perf_counter() - t0) / (iters * inner) * 1e3
+
+
 def bench_case(name, B, Q, H, Dh, shapes, P, iters):
     import jax
     import jax.numpy as jnp
@@ -37,31 +53,41 @@ def bench_case(name, B, Q, H, Dh, shapes, P, iters):
     aw = rng.uniform(0, 1, size=(B, Q, H, L, P)).astype(np.float32)
     aw = jnp.asarray(aw / aw.sum(axis=(3, 4), keepdims=True))
 
+    INNER = 20  # kernel invocations per dispatch: device-time, not dispatch-time
+
     rows = []
     for backend in ("gather", "matmul", "pallas"):
-        fwd = jax.jit(
-            lambda v, l, a: ms_deform_attn_core(v, tuple(shapes), l, a, backend)
-        )
+
+        def one(v, l, a):
+            return ms_deform_attn_core(v, tuple(shapes), l, a, backend)
+
+        @jax.jit
+        def fwd_loop(v, l, a):
+            # carry-dependent input defeats loop-invariant hoisting/CSE
+            def body(c, _):
+                # perturb LOC, not value: a scalar on value factors out of the
+                # linear kernel and XLA hoists the whole matmul as invariant
+                out = one(v, l + 1e-12 * c, a)
+                return jnp.sum(out), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER)
+            return c
 
         def loss(v, l, a):
-            return jnp.sum(ms_deform_attn_core(v, tuple(shapes), l, a, backend) ** 2)
+            return jnp.sum(one(v, l, a) ** 2)
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        @jax.jit
+        def bwd_loop(v, l, a):
+            def body(c, _):
+                g = jax.grad(loss, argnums=(0, 1, 2))(v, l + 1e-12 * c, a)
+                return jnp.sum(g[0]) + jnp.sum(g[1]) + jnp.sum(g[2]), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER)
+            return c
 
         try:
-            jax.block_until_ready(fwd(value, loc, aw))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fwd(value, loc, aw)
-            jax.block_until_ready(out)
-            t_fwd = (time.perf_counter() - t0) / iters * 1e3
-
-            jax.block_until_ready(grad(value, loc, aw))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                g = grad(value, loc, aw)
-            jax.block_until_ready(g)
-            t_bwd = (time.perf_counter() - t0) / iters * 1e3
+            t_fwd = _timed(fwd_loop, (value, loc, aw), iters, INNER)
+            t_bwd = _timed(bwd_loop, (value, loc, aw), iters, INNER)
             rows.append((backend, t_fwd, t_bwd))
         except Exception as e:  # e.g. pallas unsupported on this platform
             rows.append((backend, float("nan"), float("nan")))

@@ -51,6 +51,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-torch", action="store_true",
                    help="only produce our submission + scores (debugging)")
+    p.add_argument("--matmul-precision", default="highest",
+                   help="jax_default_matmul_precision for the comparison; "
+                        "'highest' = full f32 passes, apples-to-apples with "
+                        "the torch CPU reference (TPU default is bf16-input "
+                        "matmuls, which flips near-tie argmax tokens)")
     return p.parse_args()
 
 
@@ -234,6 +239,9 @@ def score(cfg, submission, gt_path: str, seed: int = 1234):
 def main():
     args = parse_args()
     import jax
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     from multimodal_feature_learning_tpu.parallel.mesh import make_mesh
 

@@ -18,6 +18,10 @@ def main():
     p.add_argument("--resume", default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--val-mode", default="teacher_forcing",
+                   choices=["teacher_forcing", "one_by_one", "beam"],
+                   help="decode mode (reference inference.py uses "
+                        "teacher_forcing; one_by_one/beam generate)")
     p.add_argument("--config-overrides", nargs="*", default=[])
     args = p.parse_args()
 
@@ -43,6 +47,9 @@ def main():
     if args.synthetic:
         cfg = make_synthetic_world(cfg)
     cfg = apply_overrides(cfg, args.config_overrides)
+    from multimodal_feature_learning_tpu.config import recompute_losses
+
+    recompute_losses(cfg)
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size
     if args.resume is not None:
@@ -80,7 +87,11 @@ def main():
 
     gt_path = os.path.join(anet.anet_path, "val_data_1_with_action_classes.json")
     score_fn = lambda sub: run_eval(cfg.eval, sub, gt_path)
-    eval_step = make_eval_step(model, criterion, weight_dict, "teacher_forcing")
+    eval_step = make_eval_step(
+        model, criterion, weight_dict, args.val_mode,
+        faster_eval=cfg.eval.faster_eval, beam_size=cfg.eval.beam_size,
+        length_penalty=cfg.eval.length_penalty,
+    )
     stats, submission, scores = evaluate(
         model, criterion, weight_dict, eval_step, params, val_loader, mesh,
         vocab, cfg, epoch=0, score_fn=score_fn,

@@ -103,14 +103,9 @@ def main():
     if args.synthetic:
         cfg = make_synthetic_world(cfg)
     cfg = apply_overrides(cfg, args.config_overrides)
-    # losses follow the family/mask flags (reference config_dvc_train.py:152-159);
-    # recompute after overrides so flag flips keep them consistent
-    losses = ["labels", "segments", "captions"]
-    if cfg.use_differentiable_mask:
-        losses.append("contexts")
-    if cfg.dvc.use_sparse_detr:
-        losses.append("mask_prediction")
-    cfg.dvc.losses = losses
+    from multimodal_feature_learning_tpu.config import recompute_losses
+
+    recompute_losses(cfg)  # losses follow the family/mask flags after overrides
     if args.epochs is not None:
         cfg.epochs = args.epochs
     if args.batch_size is not None:
@@ -259,6 +254,12 @@ def main():
         if jax.process_index() == 0:
             with open(os.path.join(cfg.output_dir, "train_log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
+            # separate val_log.txt on eval epochs (reference main.py:159-168)
+            val_items = {k: v for k, v in log_stats.items()
+                         if k.startswith(("val_", "score_")) or k == "epoch"}
+            if len(val_items) > 1:
+                with open(os.path.join(cfg.output_dir, "val_log.txt"), "a") as f:
+                    f.write(json.dumps(val_items) + "\n")
             if wandb is not None:
                 wandb.log(log_stats, step=epoch)
 

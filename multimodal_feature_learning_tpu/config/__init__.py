@@ -1,1 +1,6 @@
-from .defaults import load_config, load_config_train, load_config_test  # noqa: F401
+from .defaults import (  # noqa: F401
+    load_config,
+    load_config_test,
+    load_config_train,
+    recompute_losses,
+)

@@ -220,3 +220,15 @@ def load_config_test() -> ml_collections.ConfigDict:
 
 def load_config(mode: str = "train") -> ml_collections.ConfigDict:
     return load_config_train() if mode == "train" else load_config_test()
+
+
+def recompute_losses(cfg) -> None:
+    """Re-derive cfg.dvc.losses from the family/mask flags — call after any
+    config overrides so flag flips keep the loss list consistent
+    (reference config_dvc_train.py:152-159 builds it from the same flags)."""
+    losses = ["labels", "segments", "captions"]
+    if cfg.use_differentiable_mask:
+        losses.append("contexts")
+    if cfg.dvc.use_sparse_detr:
+        losses.append("mask_prediction")
+    cfg.dvc.losses = losses

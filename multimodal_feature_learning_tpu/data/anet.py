@@ -98,6 +98,7 @@ class ActivityNetDataset:
         self.max_gt = max_gt_target_segments
         self.max_caption_len = max_caption_len
         self.num_classes = num_classes
+        self.base_seed = seed
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -116,7 +117,16 @@ class ActivityNetDataset:
         action_labels = list(ann.get("classes", [0] * len(gt_timestamps)))
 
         n = min(len(gt_timestamps), self.max_gt)
-        chosen = self.rng.choice(len(gt_timestamps), n, replace=False)
+        if self.is_training:
+            rng = self.rng  # fresh subset every epoch (reference random.sample)
+        else:
+            # eval: per-key deterministic subset — sample content must not
+            # depend on iteration order or pass count (the quality-comparison
+            # harness iterates the val loader once per system)
+            import zlib
+
+            rng = np.random.default_rng((zlib.crc32(key.encode()), self.base_seed))
+        chosen = rng.choice(len(gt_timestamps), n, replace=False)
         chosen_set = set(int(c) for c in chosen)
         keep = [i for i in range(len(gt_timestamps)) if i in chosen_set]
         captions = [captions[i] for i in keep]

@@ -85,6 +85,9 @@ def evaluate(
         sharded = shard_batch(arrays, mesh)
         captions, denorm, losses = eval_step(params, sharded)
 
+        # ONE host transfer for everything (per-key float() pays a tunnel
+        # round-trip each on the axon platform)
+        captions, denorm, losses = jax.device_get((captions, denorm, losses))
         captions = np.asarray(captions)      # (B*G, Lc+1)
         denorm = np.asarray(denorm)          # (B, G, 2)
         gt_mask = np.asarray(arrays["gt_mask"])

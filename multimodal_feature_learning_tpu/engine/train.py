@@ -79,6 +79,10 @@ def train_one_epoch(
         arrays, _meta = split_batch(batch)
         arrays = shard_batch(arrays, mesh)
         state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
+        # ONE host transfer for the whole metrics dict: per-key float() costs
+        # a full tunnel round-trip each on the axon platform (~25 ms x ~20
+        # keys dominated the step time)
+        metrics = jax.device_get(metrics)
 
         if grad_flow_dir and step_in_epoch % grad_flow_freq == 0:
             # grad-flow diagnostics every N batches (reference engine.py:109-129)

@@ -114,6 +114,136 @@ def _fwd_pallas(value, temporal_shapes, loc, aw, interpret=False):
     return out.reshape(B, Q, H * Dh)
 
 
+def _msda_bwd_kernel(
+    loc_ref, aw_ref, value_ref, g_ref,
+    dvalue_ref, dloc_ref, daw_ref,
+    splat_ref, dsplat_ref,
+    *, shapes,
+):
+    """Fused backward, one program per (batch*head); the splat and its
+    cotangent live only in VMEM (the XLA formulation materializes the
+    (B, H, Q, S) splat in HBM twice — fwd residual + bwd).
+
+    dValue = splat^T @ g;   dSplat = g @ value^T;
+    per-tap grads are two where-reductions of dSplat (the adjoint of the
+    one-hot splat build), matching ms_deform_im2col_cuda.cuh:303-923 math.
+    """
+    starts, _ = _level_splits(shapes)
+    L = len(shapes)
+    P = loc_ref.shape[-1] // L
+    Qp = loc_ref.shape[1]
+
+    loc = loc_ref[0]  # (Qp, L*P) f32
+    aw = aw_ref[0]
+    g = g_ref[0]      # (Qp, Dp)
+    v = value_ref[0]  # (Sp, Dp)
+
+    # rebuild splat (identical to forward)
+    splat_ref[:] = jnp.zeros_like(splat_ref)
+    for l, (start, T) in enumerate(zip(starts, shapes)):
+        T = int(T)
+        toks = jax.lax.broadcasted_iota(jnp.int32, (Qp, T), 1)
+        acc = jnp.zeros((Qp, T), dtype=jnp.float32)
+        for p in range(P):
+            x = jnp.clip(loc[:, l * P + p] * T - 0.5, 0.0, T - 1.0)
+            x0 = jnp.floor(x)
+            w1 = x - x0
+            w0 = 1.0 - w1
+            i0 = x0.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, T - 1)
+            a = aw[:, l * P + p]
+            acc = acc + jnp.where(toks == i0[:, None], (w0 * a)[:, None], 0.0)
+            acc = acc + jnp.where(toks == i1[:, None], (w1 * a)[:, None], 0.0)
+        splat_ref[:, start : start + T] = acc
+
+    # two MXU contractions, VMEM-resident
+    dvalue_ref[0] = jax.lax.dot(
+        splat_ref[:].T.astype(g.dtype), g, preferred_element_type=jnp.float32
+    ).astype(dvalue_ref.dtype)
+    dsplat_ref[:] = jax.lax.dot(
+        g.astype(jnp.float32), v.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+    # adjoint of the splat build: per (level, tap) where-reductions
+    for l, (start, T) in enumerate(zip(starts, shapes)):
+        T = int(T)
+        toks = jax.lax.broadcasted_iota(jnp.int32, (Qp, T), 1)
+        ds_l = dsplat_ref[:, start : start + T]  # (Qp, T)
+        for p in range(P):
+            xr = loc[:, l * P + p] * T - 0.5
+            x = jnp.clip(xr, 0.0, T - 1.0)
+            inside = (xr > 0.0) & (xr < T - 1.0)  # clamp kills the gradient
+            x0 = jnp.floor(x)
+            w1 = x - x0
+            w0 = 1.0 - w1
+            i0 = x0.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, T - 1)
+            a = aw[:, l * P + p]
+            g0 = jnp.sum(jnp.where(toks == i0[:, None], ds_l, 0.0), axis=1)
+            g1 = jnp.sum(jnp.where(toks == i1[:, None], ds_l, 0.0), axis=1)
+            daw_ref[0, :, l * P + p] = (g0 * w0 + g1 * w1).astype(daw_ref.dtype)
+            dloc_ref[0, :, l * P + p] = jnp.where(
+                inside, (g1 - g0) * a * T, 0.0
+            ).astype(dloc_ref.dtype)
+
+
+def _bwd_pallas(value, temporal_shapes, loc, aw, g, interpret=False):
+    B, S, H, Dh = value.shape
+    _, Q, _, L, P = loc.shape
+    shapes = tuple(int(t) for t in temporal_shapes)
+
+    Qp = _round_up(max(Q, 8), 8)
+    Sp = _round_up(S, 128)
+    Dp = _round_up(Dh, 128)
+
+    v = jnp.swapaxes(value, 1, 2).reshape(B * H, S, Dh)
+    v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, Dp - Dh)))
+    l2 = loc.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, L * P).astype(jnp.float32)
+    a2 = aw.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, L * P).astype(jnp.float32)
+    l2 = jnp.pad(l2, ((0, 0), (0, Qp - Q), (0, 0)))
+    a2 = jnp.pad(a2, ((0, 0), (0, Qp - Q), (0, 0)))
+    g2 = g.reshape(B, Q, H, Dh).transpose(0, 2, 1, 3).reshape(B * H, Q, Dh)
+    g2 = jnp.pad(g2, ((0, 0), (0, Qp - Q), (0, Dp - Dh))).astype(jnp.float32)
+
+    kernel = functools.partial(_msda_bwd_kernel, shapes=shapes)
+    dv, dl, da = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Qp, L * P), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Qp, L * P), jnp.float32),
+        ),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Sp, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, L * P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Qp, Sp), jnp.float32),
+            pltpu.VMEM((Qp, Sp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Qp * Sp * Dp + 8 * B * H * Qp * L * P * (Sp // L),
+            bytes_accessed=B * H * (2 * Sp * Dp * 4 + 4 * Qp * L * P * 4 + Qp * Dp * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(l2, a2, v, g2)
+
+    dvalue = dv[:, :S, :Dh].reshape(B, H, S, Dh).transpose(0, 2, 1, 3).astype(value.dtype)
+    dl = dl[:, :Q].reshape(B, H, Q, L, P).transpose(0, 2, 1, 3, 4).astype(loc.dtype)
+    da = da[:, :Q].reshape(B, H, Q, L, P).transpose(0, 2, 1, 3, 4).astype(aw.dtype)
+    return dvalue, dl, da
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(value, temporal_shapes, loc, aw, interpret=False):
     """Fused Pallas MSDA. Same contract as ``ms_deform_attn_core``."""
@@ -126,6 +256,13 @@ def _vjp_fwd(value, temporal_shapes, loc, aw, interpret=False):
 
 
 def _vjp_bwd(temporal_shapes, interpret, res, g):
+    value, loc, aw = res
+    return _bwd_pallas(value, temporal_shapes, loc, aw, g, interpret)
+
+
+def _vjp_bwd_xla(temporal_shapes, interpret, res, g):
+    """XLA-ops fallback backward (materializes the splat in HBM); kept as the
+    oracle for the fused kernel above."""
     value, loc, aw = res
     B, S, H, Dh = value.shape
     _, Q, _, L, P = loc.shape

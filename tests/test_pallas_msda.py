@@ -43,3 +43,24 @@ def test_pallas_grads_match_oracle():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+def test_fused_bwd_matches_xla_formulation():
+    """The fused backward kernel (_bwd_pallas: splat + cotangent VMEM-only)
+    equals the XLA-ops formulation it replaced (_vjp_bwd_xla)."""
+    from multimodal_feature_learning_tpu.ops.pallas_msda import (
+        _bwd_pallas, _vjp_bwd_xla,
+    )
+
+    value, loc, aw = make_inputs(seed=2, B=2, H=2, Dh=8, Q=9, P=4)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(
+        rng.normal(size=(value.shape[0], loc.shape[1],
+                         value.shape[2] * value.shape[3])).astype(np.float32)
+    )
+    fused = _bwd_pallas(value, SHAPES, loc, aw, g, interpret=True)
+    ref = _vjp_bwd_xla(SHAPES, True, (value, loc, aw), g)
+    for a, b, name in zip(fused, ref, ("dvalue", "dloc", "daw")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+        )

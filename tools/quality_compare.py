@@ -51,6 +51,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-torch", action="store_true",
                    help="only produce our submission + scores (debugging)")
+    p.add_argument("--checkpoint", default="",
+                   help="orbax checkpoint dir from main.py (runs/<name>/checkpoint); "
+                        "skips inline training and compares the trained model")
     p.add_argument("--matmul-precision", default="highest",
                    help="jax_default_matmul_precision for the comparison; "
                         "'highest' = full f32 passes, apples-to-apples with "
@@ -250,9 +253,23 @@ def main():
           f"val subset: {len(val_ds)} videos  backend: {cfg.msda_backend}")
     mesh = make_mesh()
 
-    params, criterion, weight_dict = train_briefly(
-        cfg, model, train_loader, mesh, args.train_epochs
-    )
+    if args.checkpoint:
+        params, criterion, weight_dict = train_briefly(
+            cfg, model, train_loader, mesh, epochs=0
+        )
+        from multimodal_feature_learning_tpu.engine.state import (
+            create_train_state, load_checkpoint, make_optimizer,
+        )
+
+        tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
+        abstract = create_train_state(params, tx)
+        restored = load_checkpoint(args.checkpoint, abstract)
+        params = restored["state"].params
+        print(f"restored checkpoint {args.checkpoint} (epoch {restored['epoch']})")
+    else:
+        params, criterion, weight_dict = train_briefly(
+            cfg, model, train_loader, mesh, args.train_epochs
+        )
 
     t0 = time.time()
     sub_ours = our_submission(

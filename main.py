@@ -99,6 +99,9 @@ def main():
     )
 
     maybe_initialize_distributed()
+    # persistent compile cache: repeated runs skip the ~20-40s cold JIT
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = load_config("train")
     if args.synthetic:
         cfg = make_synthetic_world(cfg)
@@ -151,6 +154,9 @@ def main():
             max_caption_len=anet.max_caption_len_all,
             shuffle=shuffle, seed=cfg.seed,
         )
+    if anet.val_subset:
+        # deterministic subset for fast periodic scoring during training
+        val_ds.keys = sorted(val_ds.keys)[: anet.val_subset]
     train_loader = mk_loader(train_ds, True)
     val_loader = mk_loader(val_ds, False)
     print(f"train videos: {len(train_ds)}  val videos: {len(val_ds)}  vocab: {len(vocab)}")

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: cold-JIT dominates suite runtime otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8

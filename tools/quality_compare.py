@@ -213,11 +213,14 @@ def torch_submission(cfg, model_params, loader, vocab):
 
         strings = captions_to_string(np.asarray(ref_caps), vocab)
         i = 0
-        for b, (src, _tgt) in enumerate(ref_indices):
+        for b, (src, tgt) in enumerate(ref_indices):
             key = meta["keys"][b]
             d = float(durations[b])
             results = submission["results"].setdefault(key, [])
-            for q in src.numpy():
+            # get_src_permutation_idx (preds_postprocess.py:28) re-sorts the
+            # matched pairs by TGT index, so the reference's caption/memory
+            # rows are in GT-row order — pair segments the same way.
+            for q in src.numpy()[np.argsort(tgt.numpy(), kind="stable")]:
                 c, l = ref_out["pred_segments"][b, int(q)].numpy()
                 start = float(np.clip(d / 2 * (2 * c - l), 0.0, d))
                 end = float(np.clip(d / 2 * (2 * c + l), 0.0, d))
@@ -241,13 +244,18 @@ def score(cfg, submission, gt_path: str, seed: int = 1234):
 
 def agreement(sub_a, sub_b):
     """Decode agreement: fraction of aligned (video, event) rows whose caption
-    strings match exactly, plus mean |timestamp| delta. Isolates near-tie
-    argmax flips (f32 reduction-order noise) from genuine design divergence."""
+    strings match exactly, plus mean |timestamp| delta. Rows are aligned by
+    sorted timestamps within each video (the two systems emit rows in
+    different orders: ours in GT-row order, the reference in src-query order
+    per engine.py:236-249), so this measures content agreement, not row
+    order. Isolates near-tie argmax flips (f32 reduction-order noise) from
+    genuine design divergence."""
     n = match = 0
     ts_err = 0.0
     for key, rows_a in sub_a["results"].items():
         rows_b = sub_b["results"].get(key, [])
-        for ra, rb in zip(rows_a, rows_b):
+        key_fn = lambda r: (r["timestamp"][0], r["timestamp"][1], r["sentence"])  # noqa: E731
+        for ra, rb in zip(sorted(rows_a, key=key_fn), sorted(rows_b, key=key_fn)):
             n += 1
             match += ra["sentence"] == rb["sentence"]
             ts_err += abs(ra["timestamp"][0] - rb["timestamp"][0]) + abs(
@@ -301,11 +309,17 @@ def main():
     rows = {}
     rows["ours (TPU, gather)"] = score(cfg, sub_ours, gt_path)
 
+    dump_base = os.path.splitext(args.out)[0].lower()
+    with open(f"{dump_base}_sub_ours.json", "w") as f:
+        json.dump(sub_ours, f, indent=1)
+
     if not args.skip_torch:
         t0 = time.time()
         sub_ref = torch_submission(cfg, params, val_loader, vocab)
         t_ref = time.time() - t0
         print(f"[torch reference] eval done in {t_ref:.1f}s")
+        with open(f"{dump_base}_sub_ref.json", "w") as f:
+            json.dump(sub_ref, f, indent=1)
         rows["reference (torch, transplanted)"] = score(cfg, sub_ref, gt_path)
         agree, ts_delta, n_rows = agreement(sub_ours, sub_ref)
 
@@ -316,9 +330,13 @@ def main():
         "",
         f"Same weights, same inputs (deterministic synthetic features + real "
         f"ActivityNet annotations), same scorer, val subset = first "
-        f"{args.n_videos} sorted val_1 videos, trained {args.train_epochs} "
-        f"epoch(s) on {args.train_videos or 'all'} train videos, "
-        f"msda_backend=gather. Scores are the evaluator's percentage "
+        f"{args.n_videos} sorted val_1 videos, "
+        + (f"weights restored from the converged checkpoint {args.checkpoint} "
+           f"(main.py run, see runs_conv_phase*.log), "
+           if args.checkpoint else
+           f"trained {args.train_epochs} epoch(s) on "
+           f"{args.train_videos or 'all'} train videos, ")
+        + f"msda_backend=gather. Scores are the evaluator's percentage "
         f"convention (x100), averaged over tIoU {list(cfg.eval.tious)}.",
         "",
         "| metric | " + " | ".join(rows.keys()) + " | delta |",
@@ -350,7 +368,8 @@ def main():
         "",
         f"Generated by tools/quality_compare.py "
         f"--n-videos {args.n_videos} --train-epochs {args.train_epochs} "
-        f"--train-videos {args.train_videos} --seed {args.seed}",
+        f"--train-videos {args.train_videos} --seed {args.seed}"
+        + (f" --checkpoint {args.checkpoint}" if args.checkpoint else ""),
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -1,0 +1,153 @@
+"""Train/inference step breakdown on the real chip at production shapes.
+
+Times each stage of the flagship pipeline as its own jitted program (hard
+host-transfer syncs, the axon tunnel ignores block_until_ready):
+
+  stages:   base+sparse encoder | decoder | matcher | caption fwd |
+            full fwd | full fwd+bwd | fwd+bwd+adamw (= the train step) |
+            greedy decode (eval)
+
+Stage times overlap (each re-runs its prefix), so the interesting numbers are
+the *deltas* between consecutive rows, printed as `delta` — e.g. the matcher
+cost is t(matcher) - t(decoder). Compilation is cached per stage.
+
+Usage: python tools/profile_train.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def timed(fn, args, iters):
+    _sync(fn(*args))  # compile
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_cfg
+    from bench import real_batches, real_vocab_size
+    from multimodal_feature_learning_tpu.engine.state import (
+        create_train_state, make_optimizer,
+    )
+    from multimodal_feature_learning_tpu.engine.train import make_train_step
+    from multimodal_feature_learning_tpu.models.criterion import (
+        SetCriterion, build_weight_dict,
+    )
+    from multimodal_feature_learning_tpu.models.dvc import build_model
+
+    BATCH = 16
+    cfg = _flagship_cfg(batch_size=BATCH)
+    vocab_size = real_vocab_size()
+    model = build_model(cfg, vocab_size)
+    batch = real_batches(cfg, vocab_size, n_batches=1)[0]
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=list(cfg.dvc.losses), pad_idx=1, smoothing=cfg.dvc.smoothing,
+    )
+
+    rows = []
+
+    @jax.jit
+    def st_encode(params, batch):
+        out = model.proposal_net.apply(
+            params["proposal"], batch["video_tensor"], batch["video_mask"],
+            batch["durations"], True,
+        )
+        return out["pred_segments"]
+
+    @jax.jit
+    def st_match(params, batch):
+        out, indices, _ = model._propose_and_match(
+            params, batch, deterministic=True, with_aux=False
+        )
+        return indices
+
+    @jax.jit
+    def st_fwd(params, batch):
+        rng = jax.random.PRNGKey(0)
+        out, indices, indices_aux, mm = model.forward_train(params, batch, rng)
+        return out["pred_captions"]
+
+    def loss_fn(params, batch, rng):
+        out, indices, indices_aux, mm = model.forward_train(params, batch, rng)
+        losses = criterion(out, batch, indices, indices_aux, mm)
+        return sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)
+
+    @jax.jit
+    def st_fwd_loss(params, batch):
+        return loss_fn(params, batch, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def st_fwd_bwd(params, batch):
+        return jax.grad(loss_fn)(params, batch, jax.random.PRNGKey(0))
+
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(params, tx)
+    train_step = make_train_step(model, criterion, weight_dict, tx)
+
+    @jax.jit
+    def st_greedy(params, batch):
+        out, captions, *_ = model.forward_eval(params, batch, "serve")
+        return captions
+
+    rows.append(("propose (enc+dec heads)", timed(st_encode, (params, batch), args.iters)))
+    rows.append(("propose+match", timed(st_match, (params, batch), args.iters)))
+    rows.append(("full fwd (train)", timed(st_fwd, (params, batch), args.iters)))
+    rows.append(("fwd+criterion", timed(st_fwd_loss, (params, batch), args.iters)))
+    rows.append(("fwd+criterion+bwd", timed(st_fwd_bwd, (params, batch), args.iters)))
+    rows.append(("greedy decode (serve)", timed(st_greedy, (params, batch), args.iters)))
+
+    # train_step donates the state (params included), so it must run LAST
+    # and thread the state through the loop
+    rng = jax.random.PRNGKey(1)
+    state, m, _ = train_step(state, batch, rng)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m, _ = train_step(state, batch, rng)
+    _sync(m["loss"])
+    rows.append(("train step (+adamw+norms)",
+                 (time.perf_counter() - t0) / args.iters * 1e3))
+
+    print(f"\n# B={BATCH} vocab={vocab_size} iters={args.iters} "
+          f"platform={jax.devices()[0].platform}\n")
+    print("| stage | ms | delta vs prev |")
+    print("|---|---|---|")
+    prev = 0.0
+    for name, ms in rows:
+        print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} |")
+        prev = ms
+
+if __name__ == "__main__":
+    main()

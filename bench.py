@@ -200,6 +200,27 @@ def main():
     rows["train_videos_per_s"] = round(BATCH * n_train / dt, 3)
     rows["train_step_ms"] = round(1000 * dt / n_train, 2)
 
+    # K=8 optimizer steps per host dispatch (lax.scan program): amortizes the
+    # per-step dispatch round-trip (engine/train.py::make_train_multistep)
+    from multimodal_feature_learning_tpu.engine.train import make_train_multistep
+
+    K = 8
+    multi_step = make_train_multistep(model, criterion, weight_dict, tx)
+    stacked = {k: np.stack([np.asarray(batches[i % len(batches)][k])
+                            for i in range(K)])
+               for k in batches[0]}
+    state2 = create_train_state(model.init(jax.random.PRNGKey(2), batches[0]), tx)
+    state2, m2, _ = multi_step(state2, stacked, rng)  # compile
+    _sync(m2["loss"])
+    n_disp = 3
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        state2, m2, _ = multi_step(state2, stacked, rng)
+    _sync(m2["loss"])
+    dt8 = time.perf_counter() - t0
+    rows["train_k8_videos_per_s"] = round(BATCH * K * n_disp / dt8, 3)
+    rows["train_k8_step_ms"] = round(1000 * dt8 / (K * n_disp), 2)
+
     # MFU: XLA-reported FLOPs per train step / wall time / peak. TPU v5e
     # peak is 197 TFLOP/s bf16 (394 with int8 sparsity, not used here).
     try:

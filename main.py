@@ -201,6 +201,15 @@ def main():
 
     schedule = make_lr_schedule(cfg.lr, cfg.lr_drop, max(len(train_loader), 1))
     train_step = make_train_step(model, criterion, weight_dict, tx, schedule)
+    multi_step = None
+    if cfg.steps_per_dispatch > 1:
+        from multimodal_feature_learning_tpu.engine.train import (
+            make_train_multistep,
+        )
+
+        multi_step = make_train_multistep(
+            model, criterion, weight_dict, tx, schedule
+        )
     eval_step = make_eval_step(
         model, criterion, weight_dict, cfg.eval.val_mode,
         faster_eval=cfg.eval.faster_eval, beam_size=cfg.eval.beam_size,
@@ -239,6 +248,7 @@ def main():
         state, train_stats = train_one_epoch(
             model, criterion, weight_dict, train_step, state, train_loader,
             mesh, rng, epoch, cfg.print_freq, step_logger=step_logger,
+            multi_step=multi_step, chunk_k=cfg.steps_per_dispatch,
         )
         ckpt_path = save_checkpoint(cfg.output_dir, state, epoch)
         if (epoch + 1) % cfg.checkpoint_rate == 0 or (epoch + 1) % cfg.lr_drop == 0:

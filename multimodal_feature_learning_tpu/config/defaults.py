@@ -57,6 +57,9 @@ def load_config_train() -> ml_collections.ConfigDict:
     # numerics: bf16 compute with f32 params/activations where it matters
     cfg.compute_dtype = "float32"
     cfg.msda_backend = ""  # '' = auto (matmul on TPU, gather on CPU)
+    # K optimizer steps per host dispatch (lax.scan inside one XLA program);
+    # amortizes per-step host round-trips (engine/train.py multi-step)
+    cfg.steps_per_dispatch = 1
 
     # -- mesh / parallelism ----------------------------------------------------
     cfg.mesh = ml_collections.ConfigDict()

@@ -15,6 +15,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data.loader import split_batch
@@ -23,8 +24,9 @@ from .logging import MetricLogger, SmoothedValue
 from .state import TrainState
 
 
-def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_schedule=None):
-    """Returns jitted (state, batch_arrays, rng) -> (state, metrics)."""
+def _make_step_body(model, criterion, weight_dict: Dict[str, float], tx, lr_schedule=None):
+    """The un-jitted (state, batch, rng) -> (state, metrics, grad_leaf_norms)
+    step body shared by the single-step and scan-of-K-steps programs."""
 
     def loss_fn(params, batch, rng):
         out, indices, indices_aux, memory_mask = model.forward_train(params, batch, rng)
@@ -52,7 +54,38 @@ def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_sche
         )
         return new_state, metrics, grad_leaf_norms
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_schedule=None):
+    """Returns jitted (state, batch_arrays, rng) -> (state, metrics)."""
+    return jax.jit(
+        _make_step_body(model, criterion, weight_dict, tx, lr_schedule),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_multistep(model, criterion, weight_dict: Dict[str, float], tx,
+                         lr_schedule=None):
+    """K optimizer steps per host dispatch: ``lax.scan`` of the train-step
+    body over a stacked batch pytree (leaves (K, B, ...), K static per
+    compile). One XLA program per K steps means K× fewer host round-trips —
+    the dominant per-step overhead when the host drives a remote chip
+    (dispatch tunnels) and a real reduction anywhere. Returns jitted
+    (state, stacked_batches, rng) -> (state, metrics (K,) pytree,
+    last-step grad_leaf_norms)."""
+    body = _make_step_body(model, criterion, weight_dict, tx, lr_schedule)
+
+    def multi(state: TrainState, batches, rng):
+        def scan_body(st, batch):
+            st, metrics, grad_leaf_norms = body(st, batch, rng)
+            return st, (metrics, grad_leaf_norms)
+
+        state, (metrics, grad_leaf_norms) = jax.lax.scan(scan_body, state, batches)
+        last_norms = jax.tree_util.tree_map(lambda x: x[-1], grad_leaf_norms)
+        return state, metrics, last_norms
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def train_one_epoch(
@@ -69,6 +102,8 @@ def train_one_epoch(
     grad_flow_dir: str = "",
     grad_flow_freq: int = 100,
     step_logger=None,
+    multi_step=None,
+    chunk_k: int = 1,
 ):
     metric_logger = MetricLogger()
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -114,25 +149,66 @@ def train_one_epoch(
             # per-step metric stream (reference engine.py:299-314 wandb logging)
             step_logger(log, global_step)
 
+    def consume_many(metrics_k, grad_leaf_norms, first_step_in_epoch, first_global):
+        """Split a (K,)-leading metrics pytree from one multi-step dispatch
+        into K per-step consume() calls (one host transfer for all K)."""
+        metrics_k = jax.device_get(metrics_k)
+        K = len(jax.tree_util.tree_leaves(metrics_k)[0])
+        for j in range(K):
+            m = jax.tree_util.tree_map(lambda x: x[j], metrics_k)
+            consume(m, grad_leaf_norms, first_step_in_epoch + j,
+                    first_global + j)
+
     # pipelined metric fetch: the host transfer of step i-1's metrics happens
     # AFTER step i is dispatched, so it overlaps device compute instead of
     # serializing the tunnel round-trip into every step. NaN guard therefore
     # fires with a one-step lag (one extra harmless step vs reference
-    # engine.py:101-104).
+    # engine.py:101-104). With chunk_k > 1, K optimizer steps run per
+    # dispatch (lax.scan inside one XLA program) and the final ragged
+    # remainder falls back to single-step dispatches.
     step_in_epoch = 0
     pending = None
+    chunk = []
     global_step0 = int(state.step)  # one sync before the loop, then host-side
+    use_chunks = chunk_k > 1 and multi_step is not None
     for batch in metric_logger.log_every(loader, print_freq, header):
         arrays, _meta = split_batch(batch)
+        if use_chunks:
+            chunk.append(arrays)
+            if len(chunk) < chunk_k:
+                continue
+            stacked = shard_batch(
+                {k: np.stack([c[k] for c in chunk]) for k in chunk[0]},
+                mesh, stacked=True,
+            )
+            chunk = []
+            state, metrics_k, grad_leaf_norms = multi_step(state, stacked, rng)
+            if pending is not None:
+                pending[0](*pending[1])
+            pending = (consume_many,
+                       (metrics_k, grad_leaf_norms, step_in_epoch,
+                        global_step0 + step_in_epoch + 1))
+            step_in_epoch += chunk_k
+        else:
+            arrays = shard_batch(arrays, mesh)
+            state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
+            if pending is not None:
+                pending[0](*pending[1])
+            pending = (consume,
+                       (metrics, grad_leaf_norms, step_in_epoch,
+                        global_step0 + step_in_epoch + 1))
+            step_in_epoch += 1
+    for arrays in chunk:  # ragged tail: fewer than chunk_k batches left
         arrays = shard_batch(arrays, mesh)
         state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
         if pending is not None:
-            consume(*pending)
-        pending = (metrics, grad_leaf_norms, step_in_epoch,
-                   global_step0 + step_in_epoch + 1)
+            pending[0](*pending[1])
+        pending = (consume,
+                   (metrics, grad_leaf_norms, step_in_epoch,
+                    global_step0 + step_in_epoch + 1))
         step_in_epoch += 1
     if pending is not None:
-        consume(*pending)
+        pending[0](*pending[1])
 
     print("Averaged stats:", metric_logger)
     stats = {k: meter.global_avg for k, meter in metric_logger.meters.items()}

@@ -63,8 +63,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
+def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False) -> dict:
     """device_put every array with its leading dim split over 'data'.
+
+    stacked=True: arrays are (K, B, ...) stacks of K batches (multi-step
+    dispatch, engine/train.py) — the 'data' axis is then dim 1.
 
     Single-device meshes skip NamedSharding entirely: on the experimental
     'axon' TPU platform, feeding NamedSharding-annotated inputs into jit
@@ -75,7 +78,8 @@ def shard_batch(batch_arrays: dict, mesh: Mesh) -> dict:
     if mesh.size == 1:
         dev = mesh.devices.reshape(-1)[0]
         return {k: jax.device_put(v, dev) for k, v in batch_arrays.items()}
-    sh = data_sharding(mesh)
+    sh = (NamedSharding(mesh, P(None, "data")) if stacked
+          else data_sharding(mesh))
     if jax.process_count() > 1:
         # each process loads its own shard of the global batch (loader.py
         # process-strided indices); assemble the global jax.Array from the

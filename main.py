@@ -277,7 +277,11 @@ def main():
                 with open(os.path.join(cfg.output_dir, "val_log.txt"), "a") as f:
                     f.write(json.dumps(val_items) + "\n")
             if wandb is not None:
-                wandb.log(log_stats, step=epoch)
+                # step must share the per-step stream's monotonic counter
+                # (step_logger logs at step=global_step) or wandb drops
+                # these rows as non-monotonic; state.step is the global
+                # optimizer step at epoch end
+                wandb.log(log_stats, step=int(state.step))
 
     print(f"Training done in {time.time() - t_start:.1f}s")
 

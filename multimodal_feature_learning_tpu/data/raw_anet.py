@@ -98,10 +98,25 @@ def opencv_decoder(
                 with wave_mod.open(wav_path, "rb") as w:
                     sr = w.getframerate()
                     n = w.getnframes()
-                    raw = np.frombuffer(w.readframes(n), dtype=np.int16)
+                    width = w.getsampwidth()
+                    data = w.readframes(n)
+                    if width == 2:
+                        raw = np.frombuffer(data, dtype="<i2").astype(np.float32)
+                        raw /= 32768.0
+                    elif width == 1:  # 8-bit PCM is unsigned per WAV spec
+                        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                        raw = (raw - 128.0) / 128.0
+                    elif width == 4:
+                        raw = np.frombuffer(data, dtype="<i4").astype(np.float32)
+                        raw /= 2147483648.0
+                    else:
+                        raise ValueError(
+                            f"{wav_path}: unsupported WAV sample width "
+                            f"{width} bytes (supported: 1, 2, 4)"
+                        )
                     if w.getnchannels() > 1:
                         raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
-                    wave_arr = raw.astype(np.float32) / 32768.0
+                    wave_arr = raw
         return frames, wave_arr, sr
 
     return decode
@@ -176,7 +191,6 @@ def collate_raw(
     pad_idx: int,
     max_gt: int = 10,
     max_caption_len: int = 20,
-    train: bool = False,
 ) -> Optional[Dict]:
     """Fixed-shape raw batch: frames (B, T, H, W, 3) uint8 + fbank
     (B, La, mel) + the standard GT/caption grid.  Frame normalization happens
@@ -234,7 +248,6 @@ def build_raw_dataset(split: str, cfg, vocab=None):
     import json
     import os
 
-    from .anet import build_dataset as _build_feature_dataset
     from .vocab import Vocab, build_vocab
 
     anet = cfg.dataset.activity_net

@@ -115,7 +115,7 @@ def train_one_epoch(
         round-trip each on the axon platform)."""
         metrics = jax.device_get(metrics)
 
-        if grad_flow_dir and step_in_epoch % grad_flow_freq == 0:
+        if grad_flow_dir and grad_leaf_norms is not None:
             # grad-flow diagnostics every N batches (reference engine.py:109-129)
             import json as _json
             import os as _os
@@ -151,21 +151,31 @@ def train_one_epoch(
 
     def consume_many(metrics_k, grad_leaf_norms, first_step_in_epoch, first_global):
         """Split a (K,)-leading metrics pytree from one multi-step dispatch
-        into K per-step consume() calls (one host transfer for all K)."""
+        into K per-step consume() calls (one host transfer for all K).
+
+        multi_step returns grad-leaf norms for the chunk's LAST step only;
+        when the chunk spans a grad_flow_freq multiple the dump is attributed
+        to that last step (chunk granularity), never mislabeled onto earlier
+        steps."""
         metrics_k = jax.device_get(metrics_k)
         K = len(jax.tree_util.tree_leaves(metrics_k)[0])
+        spans_dump = (first_step_in_epoch + K - 1) // grad_flow_freq \
+            > (first_step_in_epoch - 1) // grad_flow_freq
         for j in range(K):
             m = jax.tree_util.tree_map(lambda x: x[j], metrics_k)
-            consume(m, grad_leaf_norms, first_step_in_epoch + j,
-                    first_global + j)
+            consume(m, grad_leaf_norms if (j == K - 1 and spans_dump) else None,
+                    first_step_in_epoch + j, first_global + j)
 
     # pipelined metric fetch: the host transfer of step i-1's metrics happens
     # AFTER step i is dispatched, so it overlaps device compute instead of
-    # serializing the tunnel round-trip into every step. NaN guard therefore
-    # fires with a one-step lag (one extra harmless step vs reference
-    # engine.py:101-104). With chunk_k > 1, K optimizer steps run per
-    # dispatch (lax.scan inside one XLA program) and the final ragged
-    # remainder falls back to single-step dispatches.
+    # serializing the tunnel round-trip into every step. The NaN guard
+    # therefore fires with a one-step lag at chunk_k == 1 (one extra harmless
+    # step vs reference engine.py:101-104); with chunk_k = K > 1 the lag is
+    # up to 2K-1 optimizer steps (the NaN chunk's remaining steps plus the
+    # already-dispatched next chunk) — steps after a NaN only burn compute,
+    # the abort still precedes any checkpoint write. With chunk_k > 1, K
+    # optimizer steps run per dispatch (lax.scan inside one XLA program) and
+    # the final ragged remainder falls back to single-step dispatches.
     step_in_epoch = 0
     pending = None
     chunk = []
@@ -194,6 +204,8 @@ def train_one_epoch(
             state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
             if pending is not None:
                 pending[0](*pending[1])
+            if step_in_epoch % grad_flow_freq != 0:
+                grad_leaf_norms = None
             pending = (consume,
                        (metrics, grad_leaf_norms, step_in_epoch,
                         global_step0 + step_in_epoch + 1))
@@ -203,6 +215,8 @@ def train_one_epoch(
         state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
         if pending is not None:
             pending[0](*pending[1])
+        if step_in_epoch % grad_flow_freq != 0:
+            grad_leaf_norms = None
         pending = (consume,
                    (metrics, grad_leaf_norms, step_in_epoch,
                     global_step0 + step_in_epoch + 1))

@@ -88,9 +88,14 @@ class CrossAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )  # (B, H, groups*Tq, Tk)
         if attn_mask is not None:
-            assert groups == 1, "attn_mask unsupported on the shared-KV path"
+            assert groups == 1 and zeroed_mask is None, (
+                "attn_mask unsupported on the shared-KV/bias-column path"
+            )
             logits = jnp.where(attn_mask, NEG_MASK, logits)
-        if groups == 1:
+        # the fast path has no bias-column handling, so a zeroed_mask
+        # (differentiable-context-mask crop semantics) must take the shared
+        # path even at groups == 1 (e.g. max_gt_target_segments == 1)
+        if groups == 1 and zeroed_mask is None:
             if key_padding_mask is not None:
                 logits = jnp.where(
                     key_padding_mask[:, None, None, :], NEG_MASK, logits

@@ -91,6 +91,27 @@ def test_teacher_forced_bias_column_matches_materialized(world):
     )
 
 
+def test_bias_column_applies_at_groups_one(world):
+    """groups=1 with a zeroed_mask must NOT take the plain fast path: the
+    bias-column crop semantics apply whenever zeroed_mask is given (e.g.
+    max_gt_target_segments == 1 with the differentiable context mask)."""
+    module, params, memory, crop_mask, tgt = world
+    rng = np.random.default_rng(2)
+    mem_rep = jnp.repeat(memory, G, axis=0)  # (N, S, D): N rows, groups=1
+    zeroed = jnp.where(~crop_mask[..., None], mem_rep, 0.0)
+    unmask = jnp.asarray(rng.random((B * G, S)) < 0.4) & crop_mask
+    attend_mask = crop_mask & ~unmask
+    causal = make_causal_mask(L - 1)
+    out_crop = module.apply(params, tgt, zeroed, causal, None, attend_mask)
+    out_g1 = module.apply(
+        params, tgt, mem_rep, causal, None, attend_mask, groups=1,
+        zeroed_mask=crop_mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_crop), np.asarray(out_g1), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_greedy_grouped_matches_materialized(world):
     module, params, memory, crop_mask, _ = world
     caps_crop = greedy_decode(

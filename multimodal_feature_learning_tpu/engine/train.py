@@ -66,14 +66,15 @@ def make_train_step(model, criterion, weight_dict: Dict[str, float], tx, lr_sche
 
 
 def make_train_multistep(model, criterion, weight_dict: Dict[str, float], tx,
-                         lr_schedule=None):
+                         lr_schedule=None, unroll: int = 1):
     """K optimizer steps per host dispatch: ``lax.scan`` of the train-step
     body over a stacked batch pytree (leaves (K, B, ...), K static per
     compile). One XLA program per K steps means K× fewer host round-trips —
     the dominant per-step overhead when the host drives a remote chip
-    (dispatch tunnels) and a real reduction anywhere. Returns jitted
-    (state, stacked_batches, rng) -> (state, metrics (K,) pytree,
-    last-step grad_leaf_norms)."""
+    (dispatch tunnels) and a real reduction anywhere. ``unroll`` trades
+    compile time for removing the while-loop carry (unroll=K fully inlines
+    the K steps). Returns jitted (state, stacked_batches, rng) ->
+    (state, metrics (K,) pytree, last-step grad_leaf_norms)."""
     body = _make_step_body(model, criterion, weight_dict, tx, lr_schedule)
 
     def multi(state: TrainState, batches, rng):
@@ -81,7 +82,9 @@ def make_train_multistep(model, criterion, weight_dict: Dict[str, float], tx,
             st, metrics, grad_leaf_norms = body(st, batch, rng)
             return st, (metrics, grad_leaf_norms)
 
-        state, (metrics, grad_leaf_norms) = jax.lax.scan(scan_body, state, batches)
+        state, (metrics, grad_leaf_norms) = jax.lax.scan(
+            scan_body, state, batches, unroll=unroll
+        )
         last_norms = jax.tree_util.tree_map(lambda x: x[-1], grad_leaf_norms)
         return state, metrics, last_norms
 

@@ -57,7 +57,9 @@ class BaseEncoder(nn.Module):
         src0 = gn("gn_0")(src0)
         srcs.append(src0)
         masks.append(mask)
-        poses.append(pos_embed(mask, duration).transpose(0, 2, 1))
+        # sine table is built in f32 from masks/durations; cast to the trunk
+        # compute dtype so adding it downstream never re-promotes bf16 to f32
+        poses.append(pos_embed(mask, duration).transpose(0, 2, 1).astype(src0.dtype))
 
         prev = None
         for l in range(1, self.num_feature_levels):
@@ -68,7 +70,7 @@ class BaseEncoder(nn.Module):
             )(inp)
             src = gn(f"gn_{l}")(src)
             m = interpolate_mask_nearest(mask, src.shape[1])
-            pos_l = pos_embed(m, duration).transpose(0, 2, 1)
+            pos_l = pos_embed(m, duration).transpose(0, 2, 1).astype(src.dtype)
             srcs.append(src)
             masks.append(m)
             poses.append(pos_l)

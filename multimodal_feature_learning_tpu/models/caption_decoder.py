@@ -76,14 +76,15 @@ class UnimodalCaptionDecoder(nn.Module):
     def embed(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """(N, Tc) int tokens -> (N, Tc, D) with sinusoidal PE."""
         x = self.target_embedding(tokens)
-        x = x + self.pos_table[:, : x.shape[1], :]
+        # f32 sine table cast to the embedding dtype so a bf16 trunk stays bf16
+        x = x + self.pos_table[:, : x.shape[1], :].astype(x.dtype)
         return self.pos_dropout(x, deterministic=deterministic)
 
     def embed_at(self, tokens: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         """(N,) tokens at dynamic position pos -> (N, 1, D)."""
         x = self.target_embedding(tokens[:, None])
         pe = jax.lax.dynamic_slice_in_dim(self.pos_table, pos, 1, axis=1)
-        return x + pe
+        return x + pe.astype(x.dtype)
 
     def __call__(
         self,
@@ -111,7 +112,9 @@ class UnimodalCaptionDecoder(nn.Module):
             if self.return_intermediate:
                 intermediate.append(x)
         stacked = jnp.stack(intermediate) if self.return_intermediate else x[None]
-        return nn.log_softmax(self.head(stacked), axis=-1)
+        # vocab head matmul in compute dtype; log_softmax and the KL loss that
+        # consumes it always in f32
+        return nn.log_softmax(self.head(stacked).astype(jnp.float32), axis=-1)
 
     # -- incremental decode pieces -------------------------------------------
 
@@ -144,7 +147,8 @@ class UnimodalCaptionDecoder(nn.Module):
             )
             new_k.append(kc)
             new_v.append(vc)
-        logits = self.head(x[:, 0, :])  # (N, vocab); argmax == argmax(softmax)
+        # f32 logits: argmax/beam scoring precision independent of trunk dtype
+        logits = self.head(x[:, 0, :]).astype(jnp.float32)  # (N, vocab)
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
     def decode_pair(
@@ -175,7 +179,7 @@ class UnimodalCaptionDecoder(nn.Module):
             )
             new_k.append(kc)
             new_v.append(vc)
-        logits = self.head(x[:, 1, :])
+        logits = self.head(x[:, 1, :]).astype(jnp.float32)
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
 

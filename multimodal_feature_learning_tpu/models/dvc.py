@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.segment_ops import denormalize_segments, inverse_sigmoid
+from ..utils.precision import cast_floating, resolve_dtype
 from .base_encoder import BaseEncoder, pyramid_shapes
 from .caption_decoder import (
     UnimodalCaptionDecoder,
@@ -205,12 +206,21 @@ class ProposalNet(nn.Module):
             )
         )  # (layers, B, Q, D), (layers, B, Q, 1)
 
-        outputs_segment = self.segment_embedding_decoder(query_features)  # (layers,B,Q,2)
-        outputs_count = predict_event_num(self.count_head_decoder, query_features)
+        # segment/count head outputs and the reference-point sigmoid chain run
+        # in f32 regardless of the trunk compute dtype (tiny tensors; the
+        # matcher/criterion need full precision here)
+        outputs_segment = self.segment_embedding_decoder(query_features).astype(
+            jnp.float32
+        )  # (layers,B,Q,2)
+        outputs_count = predict_event_num(
+            self.count_head_decoder, query_features
+        ).astype(jnp.float32)
 
         # reference-point offsetting (unimodal_sparse_dvc.py:193-205):
         # ref[0] = init, ref[i] = inter[i-1]; with refinement off all equal.
-        reference = jnp.concatenate([init_ref[None], inter_references[:-1]], axis=0)
+        reference = jnp.concatenate(
+            [init_ref[None], inter_references[:-1]], axis=0
+        ).astype(jnp.float32)
         reference = inverse_sigmoid(reference)  # (layers, B, Q, 1)
         outputs_segment = outputs_segment + reference  # broadcasts over (c, l)
         outputs_segment = nn.sigmoid(outputs_segment)
@@ -234,7 +244,7 @@ class ProposalNet(nn.Module):
         }
         if self.with_class_head:
             out["outputs_class_all"] = nn.softmax(
-                self.class_embedding(query_features), axis=-1
+                self.class_embedding(query_features).astype(jnp.float32), axis=-1
             )
             out["pred_logits"] = out["outputs_class_all"][-1]
         if enc_inputs["backbone_topk_proposals"] is not None:
@@ -244,8 +254,12 @@ class ProposalNet(nn.Module):
             out["sparse_token_nums"] = enc_inputs["sparse_token_nums"]
 
         if self.use_enc_aux_loss and enc_inter_feats is not None:
-            counts = predict_event_num(self.count_head_encoder, enc_inter_feats)
-            offsets = self.segment_embedding_encoder(enc_inter_feats)
+            counts = predict_event_num(
+                self.count_head_encoder, enc_inter_feats
+            ).astype(jnp.float32)
+            offsets = self.segment_embedding_encoder(enc_inter_feats).astype(
+                jnp.float32
+            )
             coords = nn.sigmoid(enc_inter_bases[None] + offsets)  # (layers-1,B,K,2)
             out["aux_outputs_enc"] = [
                 {"pred_segments": coords[i], "pred_count": counts[i]}
@@ -285,6 +299,11 @@ class UnimodalDVC:
         self.use_differentiable_mask = cfg.use_differentiable_mask
         self.cost_segment = float(dvc.matcher.cost_segment)
         self.cost_giou = float(dvc.matcher.cost_giou)
+        # mixed precision: master params stay f32; float leaves of params and
+        # the video input are cast to this dtype inside forward_* so matmuls
+        # run bf16 on the MXU, while matcher/criterion inputs are cast back to
+        # f32 at the module boundary (utils/precision.py docstring)
+        self.compute_dtype = resolve_dtype(cfg.compute_dtype)
 
         self.temporal_shapes = pyramid_shapes(
             det.video_rescale_len, det.num_feature_levels
@@ -358,13 +377,29 @@ class UnimodalDVC:
 
     # -- shared trunk -------------------------------------------------------------
 
+    def _cast_params(self, params):
+        """bf16 copies of the float param leaves (f32 mode: pass-through)."""
+        if self.compute_dtype == jnp.float32:
+            return params
+        return {k: cast_floating(v, self.compute_dtype) for k, v in params.items()}
+
     def _propose_and_match(self, params, batch, deterministic, rngs=None, with_aux=True):
+        video = batch["video_tensor"].astype(self.compute_dtype)
         out = self.proposal_net.apply(
             params["proposal"],
-            batch["video_tensor"], batch["video_mask"], batch["durations"],
+            video, batch["video_mask"], batch["durations"],
             deterministic,
             rngs=rngs,
         )
+        if self.compute_dtype != jnp.float32:
+            # matcher/criterion consume f32; only the caption-decoder inputs
+            # (the shared memory and the query features feeding the context
+            # mask) stay in compute dtype
+            keep = ("memory", "query_features")
+            out = {
+                k: (v if k in keep else cast_floating(v, jnp.float32))
+                for k, v in out.items()
+            }
         gt_segments = batch["gt_segments"]  # (B, G, 2)
         gt_mask = batch["gt_mask"]          # (B, G)
         indices = hungarian_match(
@@ -431,6 +466,7 @@ class UnimodalDVC:
     def forward_train(self, params, batch, dropout_rng) -> Tuple[Dict, jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """Returns (out, indices, indices_aux, memory_mask_float) mirroring the
         reference forward's return contract (minus the argmaxed captions)."""
+        params = self._cast_params(params)
         rngs = {"dropout": dropout_rng}
         out, indices, indices_aux = self._propose_and_match(
             params, batch, deterministic=False, rngs=rngs
@@ -488,6 +524,7 @@ class UnimodalDVC:
         faster_eval: reference's raw-argmax greedy variant
         (unimodal_sparse_dvc.py:334-351), applies to one_by_one/serve.
         """
+        params = self._cast_params(params)
         out, indices, indices_aux = self._propose_and_match(
             params, batch, deterministic=True, with_aux=(val_mode != "serve")
         )

@@ -81,12 +81,14 @@ class CrossAttention(nn.Module):
         vh = vp.reshape(B, Tk, H, Dh).transpose(0, 2, 1, 3)
 
         # match the (possibly reduced-precision) kv dtype so a bf16 KV cache
-        # is read as bf16 instead of being upcast-copied; logits still
-        # accumulate in f32 via preferred_element_type
+        # is read as bf16 instead of being upcast-copied. The dot runs in the
+        # operand dtype (TPU MXU accumulates bf16 x bf16 in f32 internally)
+        # and the logits are upcast for masking/softmax AFTER the dot — an
+        # explicit preferred_element_type=f32 here would force the backward
+        # dots to f32 (measured via tools/audit_dtypes.py).
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh.astype(kh.dtype), kh,
-            preferred_element_type=jnp.float32,
-        )  # (B, H, groups*Tq, Tk)
+            "bhqd,bhkd->bhqk", qh.astype(kh.dtype), kh
+        ).astype(jnp.float32)  # (B, H, groups*Tq, Tk)
         if attn_mask is not None:
             assert groups == 1 and zeroed_mask is None, (
                 "attn_mask unsupported on the shared-KV/bias-column path"
@@ -103,8 +105,7 @@ class CrossAttention(nn.Module):
             attn = nn.softmax(logits * scale, axis=-1)
             attn = self.attn_drop(attn, deterministic=deterministic)
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh,
-                preferred_element_type=jnp.float32,
+                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh
             ).astype(qp.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(N, Tq, self.d_model)
             return self.projection_layer(out)
@@ -127,9 +128,8 @@ class CrossAttention(nn.Module):
             kb = k_bias.reshape(H, Dh).astype(kh.dtype)   # (H, Dh)
             vb = v_bias.reshape(H, Dh).astype(vh.dtype)
             l_bias = jnp.einsum(
-                "bhqd,hd->bhq", qh.astype(kh.dtype), kb,
-                preferred_element_type=jnp.float32,
-            ) * scale  # (B, H, groups*Tq)
+                "bhqd,hd->bhq", qh.astype(kh.dtype), kb
+            ).astype(jnp.float32) * scale  # (B, H, groups*Tq)
             m = jnp.sum(~pad & zeroed_mask, axis=1).astype(jnp.float32)  # (N,)
             log_m = jnp.where(m > 0, jnp.log(jnp.maximum(m, 1.0)), NEG_MASK)
             log_m5 = jnp.broadcast_to(
@@ -140,15 +140,13 @@ class CrossAttention(nn.Module):
             attn = nn.softmax(full, axis=-1)
             attn = self.attn_drop(attn, deterministic=deterministic)
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn[..., :Tk].astype(vh.dtype), vh,
-                preferred_element_type=jnp.float32,
+                "bhqk,bhkd->bhqd", attn[..., :Tk].astype(vh.dtype), vh
             ) + attn[..., Tk:].astype(jnp.float32) * vb[None, :, None, :]
         else:
             attn = nn.softmax(scaled, axis=-1)
             attn = self.attn_drop(attn, deterministic=deterministic)
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh,
-                preferred_element_type=jnp.float32,
+                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh
             )
         out = out.astype(qp.dtype).transpose(0, 2, 1, 3).reshape(N, Tq, self.d_model)
         return self.projection_layer(out)

@@ -71,7 +71,10 @@ class MSDeformAttn(nn.Module):
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
-        attn = nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+        # softmax in f32 even under a bf16 trunk (tiny tensor; the weights are
+        # folded into the splat matrix / gather accumulation in f32 and only
+        # cast down at the matmul input)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(B, Q, H, L, P)
 
         shapes_arr = jnp.asarray(temporal_shapes, dtype=jnp.float32)
         ref_c = reference_points[:, :, None, :, 0:1]  # (B, Q, 1, L, 1)
@@ -86,5 +89,7 @@ class MSDeformAttn(nn.Module):
 
         backend = self.backend or default_backend()
         out = ms_deform_attn_core(value, tuple(temporal_shapes), loc, attn, backend)
-        out = nn.Dense(self.d_model, name="output_proj")(out)
+        # backends may accumulate in f32; return to the value compute dtype so
+        # the output projection matmul stays on the bf16 MXU path
+        out = nn.Dense(self.d_model, name="output_proj")(out.astype(value.dtype))
         return out, loc, attn

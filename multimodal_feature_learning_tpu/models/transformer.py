@@ -432,7 +432,11 @@ class SparseDeformableTransformer(nn.Module):
             query_pos[None], (batch_size,) + query_pos.shape
         )
         tgt = jnp.broadcast_to(tgt[None], (batch_size,) + tgt.shape)
-        reference_points = nn.sigmoid(self.reference_points_head(query_pos))  # (B,Q,1)
+        # reference points stay f32 under a bf16 trunk: they feed sampling
+        # locations and the inverse-sigmoid offset chain in the parent
+        reference_points = nn.sigmoid(
+            self.reference_points_head(query_pos).astype(jnp.float32)
+        )  # (B,Q,1)
         return reference_points, tgt, reference_points, query_pos
 
     def forward_decoder(

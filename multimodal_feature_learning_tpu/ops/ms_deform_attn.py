@@ -136,9 +136,9 @@ def _core_matmul(value, temporal_shapes, sampling_locations, attention_weights):
         temporal_shapes, sampling_locations, attention_weights, value.dtype
     )  # (B, H, Q, S)
     v = jnp.swapaxes(value, 1, 2)  # (B, H, S, Dh)
-    out = jnp.einsum(
-        "bhqs,bhsd->bhqd", splat, v, preferred_element_type=jnp.float32
-    ).astype(value.dtype)
+    # dot in operand dtype: TPU MXU accumulates bf16 x bf16 in f32 internally,
+    # and forcing an f32 output here would push the backward dots to f32
+    out = jnp.einsum("bhqs,bhsd->bhqd", splat, v).astype(value.dtype)
     return out.transpose(0, 2, 1, 3).reshape(B, -1, H * Dh)
 
 

@@ -137,7 +137,13 @@ def train_one_epoch(
 
         loss_value = float(metrics["loss"])
         if not math.isfinite(loss_value):
-            print(f"Loss is {loss_value}, stopping training")
+            # consume_many replays a chunk's K metric sets in step order, so
+            # this names the FIRST non-finite step even under chunk_k > 1
+            # (the optimizer may have advanced up to 2K-1 steps past it)
+            print(
+                f"Loss is {loss_value} at epoch {epoch} step {step_in_epoch} "
+                f"(global {global_step}), stopping training"
+            )
             print({k: float(v) for k, v in metrics.items()})
             sys.exit(1)
 

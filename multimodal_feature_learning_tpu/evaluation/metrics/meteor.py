@@ -16,10 +16,13 @@ pure Python:
     scores also returned.
 
 Known deviations from the Java jar (documented, data-blocked in this image):
-  * no WordNet synonymy stage (w=0.8) and no paraphrase-table stage (w=0.6) —
-    both require data files (WordNet db / paraphrase-en.gz) that cannot be
-    downloaded here. Scores are therefore a LOWER bound on jar METEOR for
-    hyps that only match via synonyms/paraphrases.
+  * the WordNet synonymy stage (w=0.8) is implemented but DATA-GATED: it
+    activates only when a synset table is supplied (``Meteor(synonym_file=)``
+    or the ``MFL_METEOR_SYNONYMS`` env var — one synset per line,
+    space-separated lowercase surface forms, as extractable from a WordNet
+    db). Without the file, and always for the paraphrase-table stage (w=0.6,
+    needs paraphrase-en.gz), scores are a LOWER bound on jar METEOR for hyps
+    that only match via synonyms/paraphrases.
   * the function-word list is a standard English closed-class list, not the
     jar's corpus-derived function.words file.
   * alignment is a chunk-minimizing greedy heuristic, not the jar's beam
@@ -204,10 +207,28 @@ ALPHA = 0.85   # P/R balance in Fmean
 BETA = 0.2     # fragmentation exponent
 GAMMA = 0.6    # fragmentation weight
 DELTA = 0.75   # content-vs-function word weight
-STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem (syn 0.8 / paraphrase 0.6 absent)
+# stage order/weights per the jar's English default "exact stem synonym":
+# the synonym stage participates only when a synset table is loaded
+# (paraphrase 0.6 absent — needs paraphrase-en.gz)
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)
 
 
-def _align(hyp: List[str], ref: List[str]):
+def load_synonym_table(path: str) -> Dict[str, frozenset]:
+    """Parse a synset file (one synset per line, space-separated lowercase
+    surface forms — the natural dump format of a WordNet db) into a
+    word -> {synset ids} map for the synonymy matcher stage."""
+    table: Dict[str, set] = {}
+    with open(path) as f:
+        for sid, line in enumerate(f):
+            words = line.split()
+            if len(words) < 2:
+                continue
+            for w in words:
+                table.setdefault(w.lower(), set()).add(sid)
+    return {w: frozenset(s) for w, s in table.items()}
+
+
+def _align(hyp: List[str], ref: List[str], synsets: Optional[Dict] = None):
     """Stage-priority one-to-one alignment. Returns a list of
     (hyp_idx, ref_idx, stage) triples sorted by hyp_idx.
 
@@ -215,10 +236,17 @@ def _align(hyp: List[str], ref: List[str]):
     (hyp_i-1 -> ref_j-1) adjacency are preferred, then the candidate closest
     to the continuation position (the jar resolves ties by beam search over
     total matches then chunks; identical on typical short captions)."""
-    n_stages = len(STAGE_WEIGHTS)
     keys = [hyp, [porter_stem(h) for h in hyp]]
     ref_keys = [ref, [porter_stem(r) for r in ref]]
 
+    def matches(stage, i, j):
+        if stage < 2:
+            return keys[stage][i] == ref_keys[stage][j]
+        # synonym stage: words share a synset (jar WordNet surface lookup)
+        sh = synsets.get(hyp[i])
+        return bool(sh) and bool(sh & synsets.get(ref[j], frozenset()))
+
+    n_stages = 3 if synsets else 2
     used_ref = [False] * len(ref)
     match_of_hyp: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
     for stage in range(n_stages):
@@ -229,7 +257,7 @@ def _align(hyp: List[str], ref: List[str]):
                 continue
             cands = [
                 j for j in range(len(ref))
-                if not used_ref[j] and keys[stage][i] == ref_keys[stage][j]
+                if not used_ref[j] and matches(stage, i, j)
             ]
             if not cands:
                 continue
@@ -254,10 +282,12 @@ def _count_chunks(pairs) -> int:
     return chunks
 
 
-def _segment_stats(hyp_line: str, ref_line: str) -> Dict[str, float]:
+def _segment_stats(
+    hyp_line: str, ref_line: str, synsets: Optional[Dict] = None
+) -> Dict[str, float]:
     """METEOR 1.5 sufficient statistics for one (hyp, ref) pair."""
     hyp, ref = hyp_line.split(), ref_line.split()
-    pairs = _align(hyp, ref)
+    pairs = _align(hyp, ref, synsets)
 
     def weighted_len(words):
         c = sum(1 for w in words if w not in FUNCTION_WORDS)
@@ -293,12 +323,27 @@ def _score_from_stats(s: Dict[str, float]) -> float:
     return fmean * (1.0 - penalty)
 
 
-def meteor_score(hyp_line: str, ref_line: str) -> float:
+def meteor_score(
+    hyp_line: str, ref_line: str, synsets: Optional[Dict] = None
+) -> float:
     """Single-pair METEOR 1.5 score."""
-    return _score_from_stats(_segment_stats(hyp_line, ref_line))
+    return _score_from_stats(_segment_stats(hyp_line, ref_line, synsets))
 
 
 class Meteor:
+    def __init__(self, synonym_file: Optional[str] = None, synsets=None):
+        """synonym_file: synset table path enabling the WordNet synonymy
+        stage (see load_synonym_table); defaults to $MFL_METEOR_SYNONYMS so a
+        WordNet dump drops in without code changes. synsets: pre-built
+        word->synset-ids map (takes precedence; mainly for tests)."""
+        import os
+
+        if synsets is None:
+            synonym_file = synonym_file or os.environ.get("MFL_METEOR_SYNONYMS")
+            if synonym_file and os.path.exists(synonym_file):
+                synsets = load_synonym_table(synonym_file)
+        self.synsets = synsets
+
     def method(self):
         return "METEOR"
 
@@ -313,7 +358,7 @@ class Meteor:
             hyp = res[k][0]
             best_stats, best = None, -1.0
             for ref in gts[k]:
-                stats = _segment_stats(hyp, ref)
+                stats = _segment_stats(hyp, ref, self.synsets)
                 score = _score_from_stats(stats)
                 if score > best:
                     best, best_stats = score, stats

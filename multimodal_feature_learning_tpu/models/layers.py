@@ -69,7 +69,15 @@ class CrossAttention(nn.Module):
         differentiable context mask unmasking tokens outside the crop. All
         such positions share identical k/v (the projection biases), so their
         m softmax columns collapse exactly into ONE extra column with logit
-        q·k_bias·scale + log(m) and value v_bias."""
+        q·k_bias·scale + log(m) and value v_bias.
+
+        Caveat (deterministic=False only): attn_drop on the collapsed column
+        applies ONE Bernoulli draw to all m folded positions, where the
+        materialized crop would drop each of the m columns independently —
+        same expectation, lower variance. Exact collapse therefore holds in
+        eval/deterministic mode; training stochastics differ slightly from
+        the reference when attention_dropout > 0 and the differentiable
+        context mask is on."""
         N, Tq, _ = qp.shape
         B, Tk = kp.shape[0], kp.shape[1]
         H = self.num_heads

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from multimodal_feature_learning_tpu.models.caption_decoder import (
     UnimodalCaptionDecoder,
+    beam_search_decode,
     greedy_decode,
     make_causal_mask,
 )
@@ -120,6 +121,41 @@ def test_greedy_grouped_matches_materialized(world):
     )
     caps_grouped = greedy_decode(
         module, params, memory, crop_mask, L, 2, 3, 1, groups=G,
+    )
+    np.testing.assert_array_equal(np.asarray(caps_crop), np.asarray(caps_grouped))
+
+
+def test_beam_grouped_matches_materialized(world):
+    """Mirrors test_greedy_grouped_matches_materialized for beam search: the
+    grouped path's contiguous n*K+k beam layout (groups_eff = groups*K) must
+    produce the same best-beam captions as beam over the materialized crop."""
+    module, params, memory, crop_mask, _ = world
+    caps_crop = beam_search_decode(
+        module, params, materialized(memory, crop_mask), crop_mask,
+        L, 2, 3, 1, beam_size=3,
+    )
+    caps_grouped = beam_search_decode(
+        module, params, memory, crop_mask, L, 2, 3, 1, beam_size=3, groups=G,
+    )
+    np.testing.assert_array_equal(np.asarray(caps_crop), np.asarray(caps_grouped))
+
+
+def test_beam_grouped_bias_column_matches_materialized(world):
+    """Beam + zeroed_mask: the zeroed_mask K-repeat and the bias-column crop
+    semantics must survive the beam layout."""
+    module, params, memory, crop_mask, _ = world
+    rng = np.random.default_rng(3)
+    unmask = jnp.asarray(rng.random((B * G, S)) < 0.4) & crop_mask
+    attend_mask = crop_mask & ~unmask
+    mem_rep = jnp.repeat(memory, G, axis=0)
+    zeroed = jnp.where(~crop_mask[..., None], mem_rep, 0.0)
+    caps_crop = beam_search_decode(
+        module, params, zeroed, attend_mask, L, 2, 3, 1, beam_size=3,
+        zeroed_mask=crop_mask,
+    )
+    caps_grouped = beam_search_decode(
+        module, params, memory, attend_mask, L, 2, 3, 1, beam_size=3, groups=G,
+        zeroed_mask=crop_mask,
     )
     np.testing.assert_array_equal(np.asarray(caps_crop), np.asarray(caps_grouped))
 

@@ -44,6 +44,7 @@ def timed(fn, args, iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -65,6 +66,7 @@ def main():
 
     BATCH = 16
     cfg = _flagship_cfg(batch_size=BATCH)
+    cfg.compute_dtype = args.dtype
     vocab_size = real_vocab_size()
     model = build_model(cfg, vocab_size)
     batch = real_batches(cfg, vocab_size, n_batches=1)[0]
@@ -80,16 +82,18 @@ def main():
 
     @jax.jit
     def st_encode(params, batch):
+        p = model._cast_params(params)
         out = model.proposal_net.apply(
-            params["proposal"], batch["video_tensor"], batch["video_mask"],
-            batch["durations"], True,
+            p["proposal"],
+            batch["video_tensor"].astype(model.compute_dtype),
+            batch["video_mask"], batch["durations"], True,
         )
         return out["pred_segments"]
 
     @jax.jit
     def st_match(params, batch):
         out, indices, _ = model._propose_and_match(
-            params, batch, deterministic=True, with_aux=False
+            model._cast_params(params), batch, deterministic=True, with_aux=False
         )
         return indices
 

@@ -44,7 +44,13 @@ def apply_overrides(cfg, overrides):
             node = getattr(node, part)
         old = getattr(node, parts[-1])
         typ = type(old)
-        setattr(node, parts[-1], typ(val) if typ is not bool else val in ("1", "true", "True"))
+        if typ is bool:
+            new = val in ("1", "true", "True")
+        elif typ is list:
+            new = [v for v in val.split(",") if v]  # e.g. video,audio
+        else:
+            new = typ(val)
+        setattr(node, parts[-1], new)
     return cfg
 
 
@@ -147,11 +153,15 @@ def main():
     else:
         train_ds, vocab = build_dataset("train", cfg)
         val_ds, _ = build_dataset("val", cfg, vocab)
+        # multimodal feature family: the collate also rescales/masks audio
+        audio_len = (anet.audio_rescale_len
+                     if len(cfg.dvc.input_modalities) == 2 else 0)
         mk_loader = lambda ds, shuffle: DataLoader(
             ds, cfg.batch_size, vocab.pad_idx,
             video_rescale_len=anet.video_rescale_len,
             max_gt=anet.max_gt_target_segments,
             max_caption_len=anet.max_caption_len_all,
+            audio_rescale_len=audio_len,
             shuffle=shuffle, seed=cfg.seed,
         )
     if anet.val_subset:

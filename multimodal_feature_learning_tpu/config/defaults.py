@@ -73,6 +73,8 @@ def load_config_train() -> ml_collections.ConfigDict:
     anet = cfg.dataset.activity_net = ml_collections.ConfigDict()
     anet.anet_path = _default_anet_path()
     anet.video_features_file = ""      # h5 file of (num_tokens, feature_dim)
+    anet.audio_features_file = ""      # audio h5; empty = alias the video h5
+                                       # (reference dataset/anet.py:72 quirk)
     anet.invalid_videos_json = ""
     anet.for_testing = False
     anet.num_samples = 6
@@ -92,6 +94,10 @@ def load_config_train() -> ml_collections.ConfigDict:
     # -- DVC model ---------------------------------------------------------------
     dvc = cfg.dvc = ml_collections.ConfigDict()
     dvc.input_modalities = ["video"]
+    # BiModalEncoder fusion ahead of the multimodal proposal stack (the
+    # reference ships the module unwired, regular/dvc.py:55 TODO)
+    dvc.use_bimodal_encoder = False
+    dvc.bimodal_depth = 2
     dvc.num_queries = 20
     dvc.d_model = 512
     dvc.aux_loss = True

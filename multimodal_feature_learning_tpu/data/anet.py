@@ -298,10 +298,20 @@ def build_dataset(split: str, cfg, vocab: Optional[Vocab] = None):
     features = FeatureBackend(
         anet.video_features_file, feature_dim=cfg.dvc.detr.feature_dim
     )
+    audio_features = None
+    if len(cfg.dvc.input_modalities) == 2:
+        # reference dataset/anet.py:72 aliases the audio h5 to the video h5
+        # (no audio feature file ships); same here, with its own backend so a
+        # real audio h5 drops in via anet.audio_features_file when present
+        audio_path = getattr(anet, "audio_features_file", "") or anet.video_features_file
+        audio_features = FeatureBackend(
+            audio_path, feature_dim=cfg.dvc.detr.feature_dim
+        )
     ds = ActivityNetDataset(
         annotation_file,
         features,
         vocab,
+        audio_features=audio_features,
         is_training=(split == "train"),
         max_gt_target_segments=anet.max_gt_target_segments,
         max_caption_len=anet.max_caption_len_all,

@@ -671,6 +671,21 @@ class MultimodalDVC:
             audio_rescale_len=anet.audio_rescale_len,
             msda_backend=cfg.msda_backend,
         )
+        # optional BiModalEncoder fusion ahead of the proposal stack — the
+        # reference ships the module but never wires it (models/regular/
+        # dvc.py:55 "TODO - add bimodal encoder"); this realizes that intent:
+        # video<->audio cross-attention over the modality token streams
+        # before the per-modality pyramids
+        self.use_bimodal_encoder = bool(getattr(dvc, "use_bimodal_encoder", False))
+        if self.use_bimodal_encoder:
+            from .backbones import BiModalEncoder
+
+            self.bimodal_encoder = BiModalEncoder(
+                d_model=det.feature_dim,
+                depth=int(getattr(dvc, "bimodal_depth", 2)),
+                num_heads=det.num_heads,
+            )
+
         cap = dvc.caption
         self.caption_decoder = MultimodalCaptionDecoder(
             vocab_size=vocab_size, seq_len=self.seq_len, d_model=cap.d_model,
@@ -691,6 +706,11 @@ class MultimodalDVC:
     def init(self, rng, batch) -> Dict:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         params = {}
+        if self.use_bimodal_encoder:
+            r1, r5 = jax.random.split(r1)
+            params["bimodal"] = jax.jit(self.bimodal_encoder.init)(
+                r5, batch["video_tensor"], batch["audio_tensor"]
+            )
         params["proposal"] = jax.jit(self.proposal_net.init)(
             r1, batch["video_tensor"], batch["video_mask"],
             batch["audio_tensor"], batch["audio_mask"], batch["durations"],
@@ -709,10 +729,15 @@ class MultimodalDVC:
         return params
 
     def _propose_and_match(self, params, batch, deterministic, rngs=None):
+        video, audio = batch["video_tensor"], batch["audio_tensor"]
+        if self.use_bimodal_encoder:
+            video, audio = self.bimodal_encoder.apply(
+                params["bimodal"], video, audio, deterministic, rngs=rngs
+            )
         out = self.proposal_net.apply(
             params["proposal"],
-            batch["video_tensor"], batch["video_mask"],
-            batch["audio_tensor"], batch["audio_mask"], batch["durations"],
+            video, batch["video_mask"],
+            audio, batch["audio_mask"], batch["durations"],
             deterministic, rngs=rngs,
         )
         indices = hungarian_match(

@@ -125,3 +125,40 @@ def test_mm_eval_greedy(setup):
     caps = np.asarray(captions)
     assert (caps[:, 0] == BOS).all()
     assert ((caps == EOS).sum(1) >= 1).all()
+
+def test_mm_bimodal_encoder_fusion_end_to_end():
+    """BiModalEncoder wired as pre-proposal fusion (reference ships it unwired,
+    regular/dvc.py:55 TODO): train fwd+bwd finite, eval decodes, and the
+    fusion params actually receive gradient."""
+    cfg = mm_cfg()
+    cfg.dvc.use_bimodal_encoder = True
+    cfg.dvc.bimodal_depth = 1
+    model = build_multimodal_model(cfg, VOCAB, PAD, BOS, EOS)
+    batch = mm_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    assert "bimodal" in params
+
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions"],
+        pad_idx=PAD, smoothing=cfg.dvc.smoothing,
+    )
+
+    def loss_fn(params, batch, rng):
+        out, indices, indices_aux, memory_mask = model.forward_train(params, batch, rng)
+        losses = criterion(out, batch, indices, indices_aux, memory_mask)
+        return sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)
+
+    total, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(np.asarray(total))
+    bi_leaves = jax.tree_util.tree_leaves(grads["bimodal"])
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in bi_leaves), (
+        "bimodal fusion params received no gradient"
+    )
+
+    out, captions, indices, _, _ = model.forward_eval(params, batch, val_mode="one_by_one")
+    assert np.asarray(captions).ndim == 2  # (B*Q, seq), flattened like train
+    assert np.isfinite(np.asarray(out["pred_segments"])).all()

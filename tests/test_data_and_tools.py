@@ -109,3 +109,46 @@ def test_grad_flow_and_memory_stats(tmp_path):
     assert os.path.exists(tmp_path / "grad_flow_00000007.json")
     assert set(out) == {"layer1/kernel", "bias"}
     device_memory_stats()  # must not raise
+
+
+def test_cli_list_override_and_audio_dataset_alias(tmp_path):
+    """dvc.input_modalities=video,audio via the CLI override parser builds the
+    audio feature backend (aliasing the video h5 like reference
+    dataset/anet.py:72 when no audio h5 is configured) and samples carry
+    audio features through the collate."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from main import apply_overrides
+
+    from multimodal_feature_learning_tpu.config import load_config_train
+    from multimodal_feature_learning_tpu.data.anet import build_dataset, collate_fixed
+
+    ann = {
+        f"v_{i}": {
+            "duration": 20.0,
+            "timestamps": [[1.0, 5.0], [6.0, 15.0]],
+            "sentences": ["a man runs", "the dog jumps"],
+        }
+        for i in range(3)
+    }
+    (tmp_path / "train.json").write_text(json.dumps(ann))
+
+    cfg = load_config_train()
+    cfg = apply_overrides(cfg, ["dvc.input_modalities=video,audio",
+                                "dataset.activity_net.audio_rescale_len=6"])
+    assert cfg.dvc.input_modalities == ["video", "audio"]
+    cfg.dataset.activity_net.anet_path = str(tmp_path)
+    cfg.dataset.activity_net.vocab_file_path = ""
+    cfg.dvc.detr.feature_dim = 16
+
+    ds, vocab = build_dataset("train", cfg)
+    sample = ds[0]
+    assert "audio_feature" in sample and sample["audio_feature"].shape[1] == 16
+
+    batch = collate_fixed(
+        [ds[i] for i in range(3)], vocab.pad_idx, video_rescale_len=8,
+        max_gt=3, max_caption_len=8, audio_rescale_len=6,
+    )
+    assert batch["audio_tensor"].shape == (3, 6, 16)
+    assert batch["audio_mask"].shape == (3, 6)

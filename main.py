@@ -259,6 +259,8 @@ def main():
             model, criterion, weight_dict, train_step, state, train_loader,
             mesh, rng, epoch, cfg.print_freq, step_logger=step_logger,
             multi_step=multi_step, chunk_k=cfg.steps_per_dispatch,
+            transfer_dtype=(cfg.transfer_dtype
+                            if cfg.transfer_dtype != "float32" else None),
         )
         ckpt_path = save_checkpoint(cfg.output_dir, state, epoch)
         if (epoch + 1) % cfg.checkpoint_rate == 0 or (epoch + 1) % cfg.lr_drop == 0:

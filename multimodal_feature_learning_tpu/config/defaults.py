@@ -56,6 +56,11 @@ def load_config_train() -> ml_collections.ConfigDict:
 
     # numerics: bf16 compute with f32 params/activations where it matters
     cfg.compute_dtype = "float32"
+    # host->device batch transfer dtype for TRAINING: "bfloat16" halves the
+    # bytes pushed over the host->device link per step (float arrays only;
+    # the train step upcasts at entry, so only the f32->bf16 input rounding
+    # differs). Eval/quality paths always transfer f32.
+    cfg.transfer_dtype = "float32"
     cfg.msda_backend = ""  # '' = auto (matmul on TPU, gather on CPU)
     # K optimizer steps per host dispatch (lax.scan inside one XLA program);
     # amortizes per-step host round-trips (engine/train.py multi-step)

@@ -35,6 +35,14 @@ def _make_step_body(model, criterion, weight_dict: Dict[str, float], tx, lr_sche
         return total, losses
 
     def train_step(state: TrainState, batch, rng):
+        # accept bf16-TRANSFERRED batches (cfg.transfer_dtype: floats are cast
+        # to bf16 on host to halve bytes over the host->device link, the
+        # dominant cost when the host drives a remote chip) — upcast at entry
+        # so everything downstream is unchanged; no-op for f32 batches
+        batch = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32)
+            if v.dtype == jnp.bfloat16 else v, batch
+        )
         rng = jax.random.fold_in(rng, state.step)
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -107,6 +115,7 @@ def train_one_epoch(
     step_logger=None,
     multi_step=None,
     chunk_k: int = 1,
+    transfer_dtype=None,
 ):
     metric_logger = MetricLogger()
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -198,7 +207,7 @@ def train_one_epoch(
                 continue
             stacked = shard_batch(
                 {k: np.stack([c[k] for c in chunk]) for k in chunk[0]},
-                mesh, stacked=True,
+                mesh, stacked=True, float_dtype=transfer_dtype,
             )
             chunk = []
             state, metrics_k, grad_leaf_norms = multi_step(state, stacked, rng)
@@ -209,7 +218,7 @@ def train_one_epoch(
                         global_step0 + step_in_epoch + 1))
             step_in_epoch += chunk_k
         else:
-            arrays = shard_batch(arrays, mesh)
+            arrays = shard_batch(arrays, mesh, float_dtype=transfer_dtype)
             state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
             if pending is not None:
                 pending[0](*pending[1])
@@ -220,7 +229,7 @@ def train_one_epoch(
                         global_step0 + step_in_epoch + 1))
             step_in_epoch += 1
     for arrays in chunk:  # ragged tail: fewer than chunk_k batches left
-        arrays = shard_batch(arrays, mesh)
+        arrays = shard_batch(arrays, mesh, float_dtype=transfer_dtype)
         state, metrics, grad_leaf_norms = train_step(state, arrays, rng)
         if pending is not None:
             pending[0](*pending[1])

@@ -63,11 +63,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False) -> dict:
+def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False,
+                float_dtype=None) -> dict:
     """device_put every array with its leading dim split over 'data'.
 
     stacked=True: arrays are (K, B, ...) stacks of K batches (multi-step
     dispatch, engine/train.py) — the 'data' axis is then dim 1.
+
+    float_dtype: cast float32 arrays to this dtype BEFORE the device_put
+    (cfg.transfer_dtype = "bfloat16" halves host->device bytes — the
+    dominant per-step cost when the host drives a remote chip; the train
+    step upcasts at entry, engine/train.py). Integer/bool arrays untouched.
 
     Single-device meshes skip NamedSharding entirely: on the experimental
     'axon' TPU platform, feeding NamedSharding-annotated inputs into jit
@@ -75,6 +81,15 @@ def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False) -> dict:
     plain single-device executable (measured 67s vs 0.14s per train step).
     Semantics are identical either way on one device.
     """
+    if float_dtype is not None:
+        import jax.numpy as jnp
+
+        dt = jnp.dtype(float_dtype)  # resolves "bfloat16" via ml_dtypes
+        batch_arrays = {
+            k: np.asarray(v).astype(dt)
+            if np.asarray(v).dtype == np.float32 else v
+            for k, v in batch_arrays.items()
+        }
     if mesh.size == 1:
         dev = mesh.devices.reshape(-1)[0]
         return {k: jax.device_put(v, dev) for k, v in batch_arrays.items()}

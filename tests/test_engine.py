@@ -182,3 +182,37 @@ def test_eval_loop_with_scoring(world, tmp_path):
     # detection metrics must be nonzero on a self-matched GT world
     assert scores["Recall"] > 0
     assert scores["Precision"] > 0
+
+def test_bf16_transfer_dtype_matches_f32(world):
+    """cfg.transfer_dtype="bfloat16": float arrays are cast to bf16 on host
+    (halving host->device bytes) and upcast at step entry — the loss must
+    match the f32-transfer loss to bf16 input-rounding tolerance, and int
+    arrays must be untouched."""
+    import jax.numpy as jnp
+
+    from multimodal_feature_learning_tpu.data.loader import split_batch
+    from multimodal_feature_learning_tpu.parallel.mesh import shard_batch
+
+    cfg, model, dataset, loader, vocab, mesh, params = world
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions"],
+        pad_idx=vocab.pad_idx, smoothing=cfg.dvc.smoothing,
+    )
+    tx = make_optimizer(cfg, steps_per_epoch=len(loader))
+    train_step = make_train_step(model, criterion, weight_dict, tx)
+    arrays, _ = split_batch(next(iter(loader)))
+
+    cast = shard_batch(arrays, mesh, float_dtype="bfloat16")
+    for k, v in arrays.items():
+        expect = jnp.bfloat16 if np.asarray(v).dtype == np.float32 else v.dtype
+        assert cast[k].dtype == expect, k
+
+    state_a = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    state_b = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    _, m32, _ = train_step(state_a, shard_batch(arrays, mesh), jax.random.PRNGKey(0))
+    _, m16, _ = train_step(state_b, cast, jax.random.PRNGKey(0))
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l32 - l16) / max(abs(l32), 1e-6) < 0.02, (l32, l16)

@@ -259,6 +259,28 @@ def main():
     rows["greedy_infer_dev_bf16_videos_per_s"] = round(BATCH * n_iters / dt, 3)
     rows["greedy_infer_dev_bf16_step_ms"] = round(1000 * dt / n_iters, 2)
 
+    # host-fed with bf16 TRANSFER (cfg.transfer_dtype serving analog): floats
+    # cast to bf16 on host (halving tunnel bytes), upcast inside the program.
+    # Measured in training: 254 -> 118 s/epoch (runs_conv_phase3.log)
+    import jax.numpy as jnp
+
+    def cast_tx(b):
+        return {k: np.asarray(v).astype(jnp.bfloat16)
+                if np.asarray(v).dtype == np.float32 else v
+                for k, v in b.items()}
+
+    @jax.jit
+    def infer_tx16(params, batch):
+        batch = {k: v.astype(jnp.float32)
+                 if v.dtype == jnp.bfloat16 else v for k, v in batch.items()}
+        out, captions, indices, _, _ = model.forward_eval(params, batch, "serve")
+        return captions, out["pred_segments"], indices
+
+    tx_batches = [cast_tx(b) for b in batches]
+    dt = time_fn(infer_tx16, [(params, b) for b in tx_batches], n_iters,
+                 (params, tx_batches[0]))
+    rows["greedy_infer_txbf16_videos_per_s"] = round(BATCH * n_iters / dt, 3)
+
     # K batches per dispatch (lax.scan): amortizes host dispatch round-trips
     K_INF = 8
 

@@ -167,6 +167,10 @@ def main():
     if anet.val_subset:
         # deterministic subset for fast periodic scoring during training
         val_ds.keys = sorted(val_ds.keys)[: anet.val_subset]
+    if anet.train_subset:
+        # deterministic train subset (short family-convergence runs; the
+        # vocab is still built from the full train split above)
+        train_ds.keys = sorted(train_ds.keys)[: anet.train_subset]
     train_loader = mk_loader(train_ds, True)
     val_loader = mk_loader(val_ds, False)
     print(f"train videos: {len(train_ds)}  val videos: {len(val_ds)}  vocab: {len(vocab)}")

@@ -93,6 +93,7 @@ def load_config_train() -> ml_collections.ConfigDict:
     anet.max_gt_target_segments = 10
     anet.num_classes = 200
     anet.val_subset = 0   # >0: deterministic sorted val subset (fast in-train eval)
+    anet.train_subset = 0  # >0: deterministic sorted train subset (short runs)
     anet.raw_video_folder = ""
     anet.raw_audio_folder = ""   # optional wav sidecars for the opencv decoder
 

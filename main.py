@@ -54,6 +54,17 @@ def apply_overrides(cfg, overrides):
     return cfg
 
 
+def _host_rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def make_synthetic_world(cfg, tmpdir="./synthetic_anet"):
     """Writes tiny synthetic annotations so the full pipeline runs without
     ActivityNet on disk (the reference's for_testing/make_h5 pattern)."""
@@ -298,6 +309,17 @@ def main():
                 # these rows as non-monotonic; state.step is the global
                 # optimizer step at epoch end
                 wandb.log(log_stats, step=int(state.step))
+
+        # RSS watchdog: the experimental axon tunnel client leaks host
+        # memory per dispatch (see COMPONENTS.md "Host-memory leak on the
+        # axon tunnel") — exit cleanly at an epoch boundary, AFTER the
+        # checkpoint save, rather than get OOM-killed mid-write. A resume
+        # wrapper (relaunch with --resume until "Training done") continues.
+        if cfg.rss_restart_gb and _host_rss_gb() > cfg.rss_restart_gb:
+            print(f"host RSS {_host_rss_gb():.1f} GB > rss_restart_gb="
+                  f"{cfg.rss_restart_gb}; exiting at epoch {epoch} for clean "
+                  f"resume (checkpoint saved)")
+            return
 
     print(f"Training done in {time.time() - t_start:.1f}s")
 

@@ -1,0 +1,86 @@
+"""Summarize the family-convergence runs (tools/run_family_convergence.sh)
+into FAMILIES.md: per-family loss trajectory (first/last epoch, % decrease)
+and the periodic anet_eval score table (VERDICT r2 missing item 4 —
+convergence + quality evidence for BASELINE configs #3 and #5).
+
+Reads runs/<name>/train_log.txt (one JSON per epoch, train_* keys) and
+val_log.txt (eval epochs, score_* keys) written by main.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+FAMILIES = [
+    ("mm", "Feature video+audio MultimodalDVC + BiModalEncoder fusion "
+           "(BASELINE config #3; sparse cross-modal encoder, "
+           "dvc.use_bimodal_encoder=True)"),
+    ("raw", "RawMultimodalDVC: synthetic decode -> ViViT + AST backbones -> "
+            "cross-modal sparse DVC, beam-search eval "
+            "(BASELINE configs #4+#5; reduced dims, see "
+            "tools/run_family_convergence.sh)"),
+]
+
+SCORE_KEYS = ["Bleu_1", "Bleu_2", "METEOR", "ROUGE_L", "CIDEr",
+              "Recall", "Precision"]
+
+
+def read_jsonl(path):
+    if not os.path.exists(path):
+        return []
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def main():
+    out = ["# Family convergence evidence",
+           "",
+           "Short real-annotation training runs for the non-flagship model "
+           "families, driven end-to-end through `main.py` (same engine, "
+           "loader, eval, and scorer as the flagship convergence runs). "
+           "Protocol: `tools/run_family_convergence.sh`; raw logs "
+           "`runs_mm_conv.log` / `runs_raw_conv.log`.",
+           ""]
+    for name, desc in FAMILIES:
+        train = read_jsonl(f"runs/{name}/train_log.txt")
+        val = read_jsonl(f"runs/{name}/val_log.txt")
+        out.append(f"## {name}: {desc}")
+        out.append("")
+        if not train:
+            out.append("_no run data found_")
+            out.append("")
+            continue
+        first, last = train[0], train[-1]
+        keys = [k for k in ("train_loss", "train_loss_caption",
+                            "train_loss_bbox", "train_loss_giou")
+                if k in first and k in last]
+        out.append("| loss | epoch %d | epoch %d | decrease |"
+                   % (first.get("epoch", 0), last.get("epoch", 0)))
+        out.append("|---|---|---|---|")
+        for k in keys:
+            a, b = float(first[k]), float(last[k])
+            dec = 100.0 * (a - b) / a if a else 0.0
+            out.append(f"| {k[6:]} | {a:.4f} | {b:.4f} | {dec:.1f}% |")
+        out.append("")
+        if val:
+            out.append("| epoch | " + " | ".join(SCORE_KEYS) + " |")
+            out.append("|---|" + "---|" * len(SCORE_KEYS))
+            for row in val:
+                cells = [f"{float(row.get('score_' + k, float('nan'))):.3f}"
+                         for k in SCORE_KEYS]
+                out.append(f"| {row.get('epoch', '?')} | " +
+                           " | ".join(cells) + " |")
+            out.append("")
+    with open("FAMILIES.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote FAMILIES.md")
+
+
+if __name__ == "__main__":
+    main()

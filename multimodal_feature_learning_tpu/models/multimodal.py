@@ -621,6 +621,117 @@ def multimodal_greedy_decode(
     return jnp.concatenate([captions, last[:, None]], axis=1)
 
 
+def multimodal_beam_search_decode(
+    module, params, video_memory, video_mask, audio_memory, audio_mask,
+    seq_len, bos_idx, eos_idx, pad_idx, beam_size=4, length_penalty=0.0,
+):
+    """Batched beam search for the dual-memory multimodal decoder — the
+    multimodal analog of caption_decoder.beam_search_decode (driver config #5
+    names beam decode on the raw path; the reference is greedy-only).
+
+    Beams of one event row are contiguous (row n -> n*K + k); per-modality
+    memory k/v are projected once and repeated per beam; candidate expansion
+    is one top_k over (K * vocab) per row and beam reordering is a cache
+    gather — the whole search is a single lax.scan inside jit.
+
+    Returns (N, seq_len + 1) captions of the best beam, same tail convention
+    as multimodal_greedy_decode.
+    """
+    N, _, D = video_memory.shape
+    depth, K = module.depth, beam_size
+    NEG = jnp.float32(-1e9)
+
+    vm = jnp.repeat(video_memory, K, axis=0)
+    vmask = jnp.repeat(video_mask, K, axis=0)
+    am = jnp.repeat(audio_memory, K, axis=0)
+    amask = jnp.repeat(audio_mask, K, axis=0)
+    NK = N * K
+
+    def _precompute(mdl, v, a):
+        return [layer.project_memory_kv(v, a) for layer in mdl.decoder]
+
+    mem_kv = module.apply(params, vm, am, method=_precompute)
+
+    def _embed_at(mdl, tokens, pos):
+        x = mdl.target_embedding(tokens[:, None])
+        pe = jax.lax.dynamic_slice_in_dim(mdl.pos_table, pos, 1, axis=1)
+        return x + pe
+
+    def _decode_pair(mdl, prev_tok, pad_tok, step, k_caches, v_caches):
+        x_prev = _embed_at(mdl, prev_tok, step)
+        x_next = _embed_at(mdl, pad_tok, step + 1)
+        x = jnp.concatenate([x_prev, x_next], axis=1)
+        new_k, new_v = [], []
+        for li, layer in enumerate(mdl.decoder):
+            vid_kv, aud_kv = mem_kv[li]
+            x, kc, vc = layer.incremental_pair(
+                x, step, k_caches[li], v_caches[li], step + 1,
+                vid_kv, aud_kv, vmask, amask,
+            )
+            new_k.append(kc)
+            new_v.append(vc)
+        return mdl.head(x[:, 1, :]), jnp.stack(new_k), jnp.stack(new_v)
+
+    tokens = jnp.full((N, K, seq_len), pad_idx, dtype=jnp.int32).at[:, :, 0].set(bos_idx)
+    # only beam 0 live at the start so the first expansion diversifies
+    scores = jnp.where(jnp.arange(K)[None] == 0, 0.0, NEG) * jnp.ones((N, 1))
+    done = jnp.zeros((N, K), dtype=bool)
+    k_caches = jnp.zeros((depth, NK, seq_len, D), dtype=video_memory.dtype)
+    v_caches = jnp.zeros((depth, NK, seq_len, D), dtype=video_memory.dtype)
+
+    def step_fn(carry, t):
+        tokens, scores, done, k_caches, v_caches = carry
+        flat_prev = tokens.reshape(NK, seq_len)
+        prev_tok = jnp.take_along_axis(
+            flat_prev, (t - 1)[None, None].repeat(NK, 0), axis=1
+        )[:, 0]
+        pad_tok = jnp.full((NK,), pad_idx, dtype=jnp.int32)
+        # fused commit(prev @ t-1) + predict(t): caches gain the t-1 entry
+        logits, k_caches, v_caches = module.apply(
+            params, prev_tok, pad_tok, t - 1, k_caches, v_caches,
+            method=_decode_pair,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(N, K, -1)
+        V = logp.shape[-1]
+        # finished beams only extend with <pad> at zero cost
+        pad_only = jnp.full((V,), NEG).at[pad_idx].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None], logp)
+
+        cand = (scores[..., None] + logp).reshape(N, K * V)
+        new_scores, idx = jax.lax.top_k(cand, K)
+        parent = idx // V
+        new_tok = (idx % V).astype(jnp.int32)
+
+        rowsN = jnp.arange(N)[:, None]
+        tokens = tokens[rowsN, parent]
+        done = done[rowsN, parent]
+        flat_parent = (rowsN * K + parent).reshape(-1)
+        k_caches = k_caches[:, flat_parent]
+        v_caches = v_caches[:, flat_parent]
+
+        new_tok = jnp.where(done, pad_idx, new_tok)
+        tokens = tokens.at[:, :, t].set(new_tok)
+        done = done | (new_tok == eos_idx)
+        return (tokens, new_scores, done, k_caches, v_caches), None
+
+    (tokens, scores, done, _, _), _ = jax.lax.scan(
+        step_fn, (tokens, scores, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    )
+
+    if length_penalty:
+        lengths = jnp.sum(tokens != pad_idx, axis=-1).astype(jnp.float32)
+        norm = ((5.0 + lengths) / 6.0) ** length_penalty
+        ranked = scores / norm
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked, axis=1)
+    captions = tokens[jnp.arange(N), best]
+
+    has_eos = jnp.any(captions == eos_idx, axis=1)
+    last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    return jnp.concatenate([captions, last[:, None]], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # orchestrator
 # ---------------------------------------------------------------------------
@@ -831,9 +942,6 @@ class MultimodalDVC:
         beam_size: int = 0,
         length_penalty: float = 0.0,
     ):
-        # faster_eval plumbed to the greedy loop; beam decode is not yet
-        # implemented for the dual-memory multimodal decoder (val_mode='beam'
-        # raises below rather than silently falling back)
         out, indices, indices_aux = self._propose_and_match(params, batch, True)
         (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred) = (
             self._prepare_caption_inputs(params, out, batch, indices)
@@ -855,6 +963,13 @@ class MultimodalDVC:
                 v_crop, v_cap_mask, a_crop, a_cap_mask,
                 self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
                 faster_eval=faster_eval,
+            )
+        elif val_mode == "beam":
+            captions_with_eos = multimodal_beam_search_decode(
+                self.caption_decoder, params["caption"],
+                v_crop, v_cap_mask, a_crop, a_cap_mask,
+                self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+                beam_size=beam_size or 4, length_penalty=length_penalty,
             )
         elif val_mode == "teacher_forcing":
             captions_with_eos = jnp.argmax(outputs_caption[-1], axis=-1)

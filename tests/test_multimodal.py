@@ -126,6 +126,49 @@ def test_mm_eval_greedy(setup):
     assert (caps[:, 0] == BOS).all()
     assert ((caps == EOS).sum(1) >= 1).all()
 
+def test_mm_beam1_equals_greedy(setup):
+    """Beam search with K=1 must reduce exactly to greedy decode."""
+    from multimodal_feature_learning_tpu.models.multimodal import (
+        multimodal_beam_search_decode,
+        multimodal_greedy_decode,
+    )
+
+    cfg, model, batch, params = setup
+    out, indices, _ = model._propose_and_match(params, batch, True)
+    (v_crop, _, v_cap_mask, _), (a_crop, _, a_cap_mask, _) = (
+        model._prepare_caption_inputs(params, out, batch, indices)
+    )
+    mdl = model.caption_decoder
+    greedy = np.asarray(multimodal_greedy_decode(
+        mdl, params["caption"], v_crop, v_cap_mask, a_crop, a_cap_mask,
+        model.seq_len, BOS, EOS, PAD,
+    ))
+    beam1 = np.asarray(multimodal_beam_search_decode(
+        mdl, params["caption"], v_crop, v_cap_mask, a_crop, a_cap_mask,
+        model.seq_len, BOS, EOS, PAD, beam_size=1,
+    ))
+    np.testing.assert_array_equal(beam1, greedy)
+
+
+def test_mm_eval_beam(setup):
+    """val_mode='beam' through forward_eval under jit (driver config #5
+    names beam decode on the raw/multimodal path)."""
+    cfg, model, batch, params = setup
+    out, captions, indices, _, _ = jax.jit(
+        lambda p, b: model.forward_eval(p, b, "beam", beam_size=3)
+    )(params, batch)
+    B = batch["video_tensor"].shape[0]
+    G = cfg.dataset.activity_net.max_gt_target_segments
+    Lc = cfg.dataset.activity_net.max_caption_len_all
+    caps = np.asarray(captions)
+    assert caps.shape == (B * G, Lc + 1)
+    assert (caps[:, 0] == BOS).all()
+    assert ((caps == EOS).sum(1) >= 1).all()
+    # beam scores are per-beam cumulative log-probs: every emitted token id
+    # must be a valid vocab id (guards the K*V top-k index arithmetic)
+    assert (caps >= 0).all() and (caps < VOCAB).all()
+
+
 def test_mm_bimodal_encoder_fusion_end_to_end():
     """BiModalEncoder wired as pre-proposal fusion (reference ships it unwired,
     regular/dvc.py:55 TODO): train fwd+bwd finite, eval decodes, and the

@@ -16,6 +16,7 @@ encoder — the reference runs it per-sample on the CPU dataloader workers.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 
 import jax
@@ -128,3 +129,51 @@ def aframes_to_fbank(
     if n >= target_length:
         return fb[:target_length]
     return jnp.pad(fb, ((0, target_length - n), (0, 0)))
+
+
+@_functools.lru_cache(maxsize=8)
+def _fbank_fixed(n_samples: int, sample_frequency: float, num_mel_bins: int):
+    """One jitted fbank per fixed input length — the static-shape companion
+    of aframes_to_fbank for the per-sample dataloader path."""
+    del n_samples  # cache key only: all calls through one entry share a shape
+    return jax.jit(lambda w: fbank(w, sample_frequency, num_mel_bins))
+
+
+def aframes_to_fbank_static(
+    aframes: np.ndarray,
+    sample_frequency: float,
+    num_mel_bins: int,
+    target_length: int,
+) -> np.ndarray:
+    """Static-shape aframes_to_fbank for the host dataloader.
+
+    The dynamic version traces/compiles a fresh XLA program per distinct wave
+    length — every ActivityNet clip has a unique duration, so the raw ingest
+    path recompiled (and shipped the full waveform to the device) once *per
+    video*. Only the first ``window + (target_length-1)*shift`` samples can
+    influence the cut-to-target_length output, and each fbank frame sees only
+    its own window (DC removal and preemphasis are frame-local), so:
+    subtract the full-wave mean on the host (reference semantics,
+    misc_modules.py:118), truncate/zero-pad the wave to that fixed sample
+    count (one compile total), and zero out frames past the true frame count
+    to reproduce the dynamic version's zero-padding. Numerically identical to
+    aframes_to_fbank for every wave length (tests/test_audio_static.py; the
+    only difference source is the host-vs-device full-wave mean reduction).
+    """
+    wave = np.asarray(aframes, dtype=np.float32).reshape(-1)
+    window_size = int(sample_frequency * 25.0 / 1000)
+    window_shift = int(sample_frequency * 10.0 / 1000)
+    n_needed = window_size + (target_length - 1) * window_shift
+    n = wave.shape[0]
+    num_valid = min(max(1 + (n - window_size) // window_shift, 0), target_length)
+    if n:
+        wave = wave - wave.mean()
+    if n >= n_needed:
+        wave = wave[:n_needed]
+    else:
+        wave = np.pad(wave, (0, n_needed - n))
+    fn = _fbank_fixed(n_needed, float(sample_frequency), int(num_mel_bins))
+    fb = np.array(fn(jnp.asarray(wave)))  # (target_length, num_mel_bins), writable
+    if num_valid < target_length:
+        fb[num_valid:] = 0.0
+    return fb

@@ -20,7 +20,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .anet import ActivityNetDataset, FeatureBackend
-from .audio import aframes_to_fbank
+from .audio import aframes_to_fbank_static
 from .video_transforms import preprocess_clip, temporal_resample_nearest
 
 
@@ -179,7 +179,9 @@ class RawActivityNetDataset(ActivityNetDataset):
         del sample["video_feature"]
         sample["raw_frames"] = frames  # (T, H, W, 3) uint8, preprocessed on device
         if self.with_audio:
-            fb = aframes_to_fbank(
+            # static-shape fbank: one XLA compile for the whole dataset (the
+            # dynamic variant recompiles per distinct wave length — per video)
+            fb = aframes_to_fbank_static(
                 np.asarray(wave), float(sr), self.num_mel_bins, self.audio_target_length
             )
             sample["audio_feature"] = np.asarray(fb)  # (target_len, mel)

@@ -59,3 +59,64 @@ def test_token_axis_sharding_matches():
         )
         out = np.asarray(f(params_r, sharded))
     np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-5)
+
+def test_dp_sp_train_step_matches_single_device():
+    """One full training step on a 2-D mesh (4 data x 2 model, encoder memory
+    token-axis sharded over 'model' — the layout __graft_entry__.dryrun_multichip
+    validates) must produce the same loss and updated params as the unsharded
+    single-device step."""
+    from multimodal_feature_learning_tpu.engine.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from multimodal_feature_learning_tpu.engine.train import make_train_step
+    from multimodal_feature_learning_tpu.models.criterion import (
+        SetCriterion,
+        build_weight_dict,
+    )
+
+    cfg = small_cfg()
+    model = build_model(cfg, VOCAB, PAD, BOS, EOS)
+    batch = synthetic_batch(cfg, B=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    weight_dict = build_weight_dict(cfg)
+    criterion = SetCriterion(
+        num_classes=cfg.dvc.num_classes, weight_dict=weight_dict,
+        losses=["labels", "segments", "captions", "contexts", "mask_prediction"],
+        pad_idx=PAD, smoothing=cfg.dvc.smoothing,
+    )
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    rng = jax.random.PRNGKey(1)
+
+    # single-device reference step (copy: the step donates its state)
+    state = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    step = make_train_step(model, criterion, weight_dict, tx)
+    state1, metrics1, _ = step(state, batch, rng)
+    base_loss = float(metrics1["loss"])
+    base_params = jax.device_get(state1.params)
+
+    # DP x SP sharded step
+    sp_model = build_model(cfg, VOCAB, PAD, BOS, EOS)
+    object.__setattr__(
+        sp_model, "proposal_net",
+        sp_model.proposal_net.clone(shard_tokens_axis="model"),
+    )
+    mesh = make_mesh(num_data=4, num_model=2)
+    with jax.set_mesh(mesh):
+        params_r = replicate_params(jax.tree.map(jnp.copy, params), mesh)
+        sharded = {
+            k: jax.device_put(v, NamedSharding(mesh, P("data")))
+            for k, v in batch.items()
+        }
+        state_r = create_train_state(params_r, tx)
+        step_sp = make_train_step(sp_model, criterion, weight_dict, tx)
+        state2, metrics2, _ = step_sp(state_r, sharded, rng)
+        sp_loss = float(metrics2["loss"])
+        sp_params = jax.device_get(state2.params)
+
+    np.testing.assert_allclose(sp_loss, base_loss, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(base_params)
+    flat2 = jax.tree_util.tree_leaves(sp_params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)

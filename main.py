@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import jax
@@ -47,7 +48,11 @@ def apply_overrides(cfg, overrides):
         if typ is bool:
             new = val in ("1", "true", "True")
         elif typ is list:
-            new = [v for v in val.split(",") if v]  # e.g. video,audio
+            items = [v for v in val.split(",") if v]  # e.g. video,audio
+            # coerce to the existing element type (eval.tious floats etc.);
+            # an empty default list keeps raw strings
+            el = type(old[0]) if old else str
+            new = [el(v) for v in items] if el is not str else items
         else:
             new = typ(val)
         setattr(node, parts[-1], new)
@@ -319,7 +324,10 @@ def main():
             print(f"host RSS {_host_rss_gb():.1f} GB > rss_restart_gb="
                   f"{cfg.rss_restart_gb}; exiting at epoch {epoch} for clean "
                   f"resume (checkpoint saved)")
-            return
+            # EX_TEMPFAIL: distinguishable from a completed run ("Training
+            # done" + exit 0) so automation doesn't mistake the early exit
+            # for success
+            sys.exit(75)
 
     print(f"Training done in {time.time() - t_start:.1f}s")
 

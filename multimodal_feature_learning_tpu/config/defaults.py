@@ -65,10 +65,11 @@ def load_config_train() -> ml_collections.ConfigDict:
     # K optimizer steps per host dispatch (lax.scan inside one XLA program);
     # amortizes per-step host round-trips (engine/train.py multi-step)
     cfg.steps_per_dispatch = 1
-    # exit cleanly (post-checkpoint, epoch boundary) when host RSS exceeds
-    # this many GB; 0 disables. Mitigates the axon tunnel client's per-
-    # dispatch host leak (COMPONENTS.md) — pair with a resume wrapper.
-    cfg.rss_restart_gb = 100
+    # exit (status 75, post-checkpoint, epoch boundary) when host RSS exceeds
+    # this many GB; 0 (default) disables. Opt-in mitigation for the axon
+    # tunnel client's per-dispatch host leak (COMPONENTS.md) — pair with a
+    # resume wrapper (relaunch --resume until "Training done").
+    cfg.rss_restart_gb = 0
 
     # -- mesh / parallelism ----------------------------------------------------
     cfg.mesh = ml_collections.ConfigDict()

@@ -337,11 +337,26 @@ class Meteor:
         WordNet dump drops in without code changes. synsets: pre-built
         word->synset-ids map (takes precedence; mainly for tests)."""
         import os
+        import warnings
 
         if synsets is None:
-            synonym_file = synonym_file or os.environ.get("MFL_METEOR_SYNONYMS")
-            if synonym_file and os.path.exists(synonym_file):
+            env_file = os.environ.get("MFL_METEOR_SYNONYMS")
+            if synonym_file:
+                # explicitly requested: a missing table must not silently
+                # degrade the metric to the 2-stage lower bound
+                if not os.path.exists(synonym_file):
+                    raise FileNotFoundError(
+                        f"METEOR synonym table not found: {synonym_file}"
+                    )
                 synsets = load_synonym_table(synonym_file)
+            elif env_file:
+                if os.path.exists(env_file):
+                    synsets = load_synonym_table(env_file)
+                else:
+                    warnings.warn(
+                        f"MFL_METEOR_SYNONYMS={env_file} does not exist; "
+                        "scoring WITHOUT the synonymy stage (exact+stem only)"
+                    )
         self.synsets = synsets
 
     def method(self):

@@ -552,29 +552,26 @@ class MultimodalCaptionDecoder(nn.Module):
         return nn.log_softmax(self.head(stacked), axis=-1)
 
 
-def multimodal_greedy_decode(
-    module, params, video_memory, video_mask, audio_memory, audio_mask,
-    seq_len, bos_idx, eos_idx, pad_idx, faster_eval=False,
-):
-    """KV-cached greedy decode for the multimodal decoder: fused
-    commit+predict per step, memory k/v projected once per modality —
-    the multimodal analog of caption_decoder.greedy_decode."""
-    N, _, D = video_memory.shape
-    depth = module.depth
+def _mm_precompute(mdl, video_memory, audio_memory):
+    """Per-layer one-shot memory k/v projection (both modalities)."""
+    return [layer.project_memory_kv(video_memory, audio_memory)
+            for layer in mdl.decoder]
 
-    def _precompute(mdl, vm, am):
-        return [layer.project_memory_kv(vm, am) for layer in mdl.decoder]
 
-    mem_kv = module.apply(params, video_memory, audio_memory, method=_precompute)
+def _mm_embed_at(mdl, tokens, pos):
+    x = mdl.target_embedding(tokens[:, None])
+    pe = jax.lax.dynamic_slice_in_dim(mdl.pos_table, pos, 1, axis=1)
+    return x + pe.astype(x.dtype)
 
-    def _embed_at(mdl, tokens, pos):
-        x = mdl.target_embedding(tokens[:, None])
-        pe = jax.lax.dynamic_slice_in_dim(mdl.pos_table, pos, 1, axis=1)
-        return x + pe
+
+def _mm_decode_pair_fn(mem_kv, video_mask, audio_mask):
+    """Fused commit(prev @ step) + predict(step+1) over the layer stack,
+    shared by the greedy and beam decodes (the masks/mem_kv differ: beam
+    repeats them per beam)."""
 
     def _decode_pair(mdl, prev_tok, pad_tok, step, k_caches, v_caches):
-        x_prev = _embed_at(mdl, prev_tok, step)
-        x_next = _embed_at(mdl, pad_tok, step + 1)
+        x_prev = _mm_embed_at(mdl, prev_tok, step)
+        x_next = _mm_embed_at(mdl, pad_tok, step + 1)
         x = jnp.concatenate([x_prev, x_next], axis=1)
         new_k, new_v = [], []
         for li, layer in enumerate(mdl.decoder):
@@ -586,6 +583,24 @@ def multimodal_greedy_decode(
             new_k.append(kc)
             new_v.append(vc)
         return mdl.head(x[:, 1, :]), jnp.stack(new_k), jnp.stack(new_v)
+
+    return _decode_pair
+
+
+def multimodal_greedy_decode(
+    module, params, video_memory, video_mask, audio_memory, audio_mask,
+    seq_len, bos_idx, eos_idx, pad_idx, faster_eval=False,
+):
+    """KV-cached greedy decode for the multimodal decoder: fused
+    commit+predict per step, memory k/v projected once per modality —
+    the multimodal analog of caption_decoder.greedy_decode."""
+    N, _, D = video_memory.shape
+    depth = module.depth
+
+    mem_kv = module.apply(
+        params, video_memory, audio_memory, method=_mm_precompute
+    )
+    _decode_pair = _mm_decode_pair_fn(mem_kv, video_mask, audio_mask)
 
     captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32).at[:, 0].set(bos_idx)
     done = jnp.zeros((N,), dtype=bool)
@@ -647,30 +662,8 @@ def multimodal_beam_search_decode(
     amask = jnp.repeat(audio_mask, K, axis=0)
     NK = N * K
 
-    def _precompute(mdl, v, a):
-        return [layer.project_memory_kv(v, a) for layer in mdl.decoder]
-
-    mem_kv = module.apply(params, vm, am, method=_precompute)
-
-    def _embed_at(mdl, tokens, pos):
-        x = mdl.target_embedding(tokens[:, None])
-        pe = jax.lax.dynamic_slice_in_dim(mdl.pos_table, pos, 1, axis=1)
-        return x + pe
-
-    def _decode_pair(mdl, prev_tok, pad_tok, step, k_caches, v_caches):
-        x_prev = _embed_at(mdl, prev_tok, step)
-        x_next = _embed_at(mdl, pad_tok, step + 1)
-        x = jnp.concatenate([x_prev, x_next], axis=1)
-        new_k, new_v = [], []
-        for li, layer in enumerate(mdl.decoder):
-            vid_kv, aud_kv = mem_kv[li]
-            x, kc, vc = layer.incremental_pair(
-                x, step, k_caches[li], v_caches[li], step + 1,
-                vid_kv, aud_kv, vmask, amask,
-            )
-            new_k.append(kc)
-            new_v.append(vc)
-        return mdl.head(x[:, 1, :]), jnp.stack(new_k), jnp.stack(new_v)
+    mem_kv = module.apply(params, vm, am, method=_mm_precompute)
+    _decode_pair = _mm_decode_pair_fn(mem_kv, vmask, amask)
 
     tokens = jnp.full((N, K, seq_len), pad_idx, dtype=jnp.int32).at[:, :, 0].set(bos_idx)
     # only beam 0 live at the start so the first expansion diversifies

@@ -63,6 +63,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def cast_floats(batch_arrays: dict, float_dtype) -> dict:
+    """Host-side cast of float32 leaves to ``float_dtype`` before transfer
+    (the cfg.transfer_dtype rule — halves host->device bytes for bf16; the
+    step upcasts at entry). Integer/bool arrays untouched. Single source of
+    truth for the cast: shard_batch and bench.py both route through here."""
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(float_dtype)  # resolves "bfloat16" via ml_dtypes
+    return {
+        k: np.asarray(v).astype(dt)
+        if np.asarray(v).dtype == np.float32 else v
+        for k, v in batch_arrays.items()
+    }
+
+
 def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False,
                 float_dtype=None) -> dict:
     """device_put every array with its leading dim split over 'data'.
@@ -82,14 +97,7 @@ def shard_batch(batch_arrays: dict, mesh: Mesh, stacked: bool = False,
     Semantics are identical either way on one device.
     """
     if float_dtype is not None:
-        import jax.numpy as jnp
-
-        dt = jnp.dtype(float_dtype)  # resolves "bfloat16" via ml_dtypes
-        batch_arrays = {
-            k: np.asarray(v).astype(dt)
-            if np.asarray(v).dtype == np.float32 else v
-            for k, v in batch_arrays.items()
-        }
+        batch_arrays = cast_floats(batch_arrays, float_dtype)
     if mesh.size == 1:
         dev = mesh.devices.reshape(-1)[0]
         return {k: jax.device_put(v, dev) for k, v in batch_arrays.items()}

@@ -152,3 +152,33 @@ def test_cli_list_override_and_audio_dataset_alias(tmp_path):
     )
     assert batch["audio_tensor"].shape == (3, 6, 16)
     assert batch["audio_mask"].shape == (3, 6)
+
+
+def test_apply_overrides_list_coercion():
+    """List overrides coerce elements to the default list's element type
+    (eval.tious floats stay floats; string lists stay strings)."""
+    from main import apply_overrides
+    from multimodal_feature_learning_tpu.config import load_config_train
+
+    cfg = load_config_train()
+    apply_overrides(cfg, [
+        "eval.tious=0.3,0.5",
+        "dvc.input_modalities=video,audio",
+        "dvc.detr.num_heads=4",
+        "use_raw_videos=True",
+    ])
+    assert cfg.eval.tious == [0.3, 0.5]
+    assert cfg.dvc.input_modalities == ["video", "audio"]
+    assert cfg.dvc.detr.num_heads == 4
+    assert cfg.use_raw_videos is True
+
+
+def test_meteor_missing_synonym_file():
+    """An explicitly-passed missing synonym table must raise, not silently
+    score without the synonymy stage."""
+    import pytest as _pytest
+
+    from multimodal_feature_learning_tpu.evaluation.metrics.meteor import Meteor
+
+    with _pytest.raises(FileNotFoundError):
+        Meteor(synonym_file="/nonexistent/synsets.txt")

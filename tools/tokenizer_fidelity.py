@@ -77,6 +77,7 @@ _INFIX = re.compile(
 def spacy_sim(text: str):
     out = []
     for sub in text.split():
+        pending = []  # suffix chars popped innermost-last (emit reversed)
         while sub:
             low = sub.lower()
             if low in _SPECIAL:
@@ -91,17 +92,15 @@ def spacy_sim(text: str):
                 continue
             m = _SUFFIX.search(sub)
             if m and len(sub) > 1:
-                # strip ONE suffix char, re-enter loop (spacy pops suffixes
-                # one rule application at a time); emit after the remainder
-                tail = sub[m.start():]
-                rest = sub[: m.start()]
-                toks = _tok_core(rest) if rest else []
-                out.extend(toks)
-                out.append(tail)
-                sub = ""
+                # strip ONE suffix char and re-enter the loop (spacy pops
+                # suffixes one rule application at a time — "dog.." ->
+                # ["dog", ".", "."]); emit after the remainder
+                pending.append(sub[m.start():])
+                sub = sub[: m.start()]
                 continue
             out.extend(_tok_core(sub))
             break
+        out.extend(reversed(pending))
     return [t for t in out if t]
 
 

@@ -38,6 +38,28 @@ def read_jsonl(path):
     return rows
 
 
+def existing_sections(path="FAMILIES.md"):
+    """Prior FAMILIES.md section bodies keyed by family name, so a family
+    whose runs/<name>/ dir was cleaned up (the convergence runs are run
+    one-at-a-time and the dir reused) keeps its committed evidence instead
+    of regressing to "_no run data found_"."""
+    if not os.path.exists(path):
+        return {}
+    sections, name, body = {}, None, []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("## "):
+                if name is not None:
+                    sections[name] = "".join(body).strip()
+                name = line[3:].split(":", 1)[0].strip()
+                body = []
+            elif name is not None:
+                body.append(line)
+    if name is not None:
+        sections[name] = "".join(body).strip()
+    return sections
+
+
 def main():
     out = ["# Family convergence evidence",
            "",
@@ -47,13 +69,16 @@ def main():
            "Protocol: `tools/run_family_convergence.sh`; raw logs "
            "`runs_mm_conv.log` / `runs_raw_conv.log`.",
            ""]
+    prior = existing_sections()
     for name, desc in FAMILIES:
         train = read_jsonl(f"runs/{name}/train_log.txt")
         val = read_jsonl(f"runs/{name}/val_log.txt")
         out.append(f"## {name}: {desc}")
         out.append("")
         if not train:
-            out.append("_no run data found_")
+            kept = prior.get(name, "")
+            out.append(kept if kept and "_no run data found_" not in kept
+                       else "_no run data found_")
             out.append("")
             continue
         first, last = train[0], train[-1]

@@ -26,6 +26,14 @@ MSDA's own projections stay replicated deliberately — their interior
 of the FLOPs; the deformable encoder instead scales via token-axis SP
 (models/dvc.py ``shard_tokens_axis``), which composes with this TP (the two
 live on the same 'model' axis and apply to disjoint tensors).
+
+Known inefficiency: under DPxTP the caption decoder's cross-attention reshape
+triggers an SPMD "involuntary full rematerialization" warning (GSPMD can't go
+from batch-sharded to head-sharded layout without a replicate step on that
+reshape). Semantics are unaffected (equivalence pinned by the tests); at this
+model scale TP is a capability demonstration — DP(+SP) is the production
+layout — so the extra all-gather is accepted rather than hand-annotating the
+decoder interior.
 """
 
 from __future__ import annotations

@@ -41,9 +41,27 @@ def timed(fn, args, iters):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def cost(fn, args):
+    """XLA's own per-program cost model: (GFLOPs, GB accessed) or (nan, nan).
+
+    `compile().cost_analysis()` reports the compiler's static estimate of
+    executed flops and bytes touched — the numerator for a per-stage roofline
+    (tools/profile_train.py feeds PERF.md)."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", float("nan"))) / 1e9,
+                float(ca.get("bytes accessed", float("nan"))) / 1e9)
+    except Exception as e:  # tunnel backends may not expose it
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+        return float("nan"), float("nan")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args()
 
@@ -64,7 +82,7 @@ def main():
     )
     from multimodal_feature_learning_tpu.models.dvc import build_model
 
-    BATCH = 16
+    BATCH = args.batch
     cfg = _flagship_cfg(batch_size=BATCH)
     cfg.compute_dtype = args.dtype
     vocab_size = real_vocab_size()
@@ -125,16 +143,21 @@ def main():
         out, captions, *_ = model.forward_eval(params, batch, "serve")
         return captions
 
-    rows.append(("propose (enc+dec heads)", timed(st_encode, (params, batch), args.iters)))
-    rows.append(("propose+match", timed(st_match, (params, batch), args.iters)))
-    rows.append(("full fwd (train)", timed(st_fwd, (params, batch), args.iters)))
-    rows.append(("fwd+criterion", timed(st_fwd_loss, (params, batch), args.iters)))
-    rows.append(("fwd+criterion+bwd", timed(st_fwd_bwd, (params, batch), args.iters)))
-    rows.append(("greedy decode (serve)", timed(st_greedy, (params, batch), args.iters)))
+    for name, fn in (
+        ("propose (enc+dec heads)", st_encode),
+        ("propose+match", st_match),
+        ("full fwd (train)", st_fwd),
+        ("fwd+criterion", st_fwd_loss),
+        ("fwd+criterion+bwd", st_fwd_bwd),
+        ("greedy decode (serve)", st_greedy),
+    ):
+        rows.append((name, timed(fn, (params, batch), args.iters),
+                     *cost(fn, (params, batch))))
 
     # train_step donates the state (params included), so it must run LAST
     # and thread the state through the loop
     rng = jax.random.PRNGKey(1)
+    ts_cost = cost(train_step, (state, batch, rng))  # lowering doesn't execute
     state, m, _ = train_step(state, batch, rng)
     _sync(m["loss"])
     t0 = time.perf_counter()
@@ -142,15 +165,36 @@ def main():
         state, m, _ = train_step(state, batch, rng)
     _sync(m["loss"])
     rows.append(("train step (+adamw+norms)",
-                 (time.perf_counter() - t0) / args.iters * 1e3))
+                 (time.perf_counter() - t0) / args.iters * 1e3, *ts_cost))
+
+    # v5e roofline constants: 197 TF/s bf16 MXU peak, 819 GB/s HBM.
+    PEAK_TF = 197.0 if args.dtype == "bfloat16" else 98.5
+    HBM_GBS = 819.0
+    ridge = PEAK_TF * 1e3 / HBM_GBS  # flops/byte at the roofline ridge
 
     print(f"\n# B={BATCH} vocab={vocab_size} iters={args.iters} "
-          f"platform={jax.devices()[0].platform}\n")
-    print("| stage | ms | delta vs prev |")
-    print("|---|---|---|")
+          f"dtype={args.dtype} platform={jax.devices()[0].platform}")
+    print(f"# roofline: peak {PEAK_TF} TF/s, HBM {HBM_GBS} GB/s, "
+          f"ridge AI {ridge:.0f} flop/B\n")
+    print("| stage | ms | delta vs prev | GFLOP | GB | MFU% | GB/s | AI | bound |")
+    print("|---|---|---|---|---|---|---|---|---|")
     prev = 0.0
-    for name, ms in rows:
-        print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} |")
+    for name, ms, gf, gb in rows:
+        mfu = 100 * gf / (ms / 1e3) / (PEAK_TF * 1e3)
+        bw = gb / (ms / 1e3)
+        ai = gf / gb if gb == gb and gb > 0 else float("nan")
+        # what the stage's own (AI, achieved-fraction) says binds it: compute
+        # if its AI clears the ridge, memory if it achieves a large HBM
+        # fraction, otherwise latency/overhead (small grids, scan carries,
+        # dispatch) — the usual fate of a 15-30M-param model.
+        if ai == ai and ai >= ridge:
+            bound = "compute"
+        elif bw >= 0.5 * HBM_GBS:
+            bound = "memory"
+        else:
+            bound = "latency/overhead"
+        print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} | {gf:.1f} | {gb:.2f} "
+              f"| {mfu:.1f} | {bw:.0f} | {ai:.0f} | {bound} |")
         prev = ms
 
 if __name__ == "__main__":

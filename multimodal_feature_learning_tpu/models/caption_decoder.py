@@ -97,8 +97,16 @@ class UnimodalCaptionDecoder(nn.Module):
         groups: int = 1,
         zeroed_mask=None,            # (N, S): crop mask when it differs from
                                      # memory_padding_mask (shared-KV path)
+        return_logits: bool = False,
     ) -> jnp.ndarray:
-        """Teacher-forced pass -> (depth, N, Tc, vocab) log-probabilities."""
+        """Teacher-forced pass -> (depth, N, Tc, vocab) log-probabilities.
+
+        ``return_logits=True`` skips the log_softmax and returns the raw
+        logits in compute dtype — the train path pairs this with the
+        criterion's fused ``label_smoothing_kl_logits``, which upcasts to f32
+        inside its reductions, so neither a V-sized log-prob tensor nor a
+        materialized f32 copy of the logits is stored for the backward pass
+        (argmax/loss semantics unchanged)."""
         x = self.embed(tgt, deterministic)
         if tgt_mask is not None and tgt_mask.ndim == 2:
             tgt_mask = tgt_mask[None, None]  # (1, 1, Tc, Tc)
@@ -113,7 +121,9 @@ class UnimodalCaptionDecoder(nn.Module):
                 intermediate.append(x)
         stacked = jnp.stack(intermediate) if self.return_intermediate else x[None]
         # vocab head matmul in compute dtype; log_softmax and the KL loss that
-        # consumes it always in f32
+        # consumes it always in f32 (the fused train loss upcasts internally)
+        if return_logits:
+            return self.head(stacked)
         return nn.log_softmax(self.head(stacked).astype(jnp.float32), axis=-1)
 
     # -- incremental decode pieces -------------------------------------------

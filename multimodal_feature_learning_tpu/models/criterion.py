@@ -111,6 +111,79 @@ def label_smoothing_kl(
     return jnp.sum(jnp.where(valid, ent - cross, 0.0))
 
 
+def _ls_kl_pointwise_from_logits(logits, target_b, pad_idx, smoothing):
+    """Masked per-position (ent - cross) of the smoothing KL, straight from
+    raw logits of ANY float dtype (bf16 logits are upcast inside the fusion).
+
+    Byte-traffic rationale (the train step is HBM-bound, see PERF.md): feeding
+    ``log_softmax(logits)`` into the loss makes autodiff *store* the (…, V)
+    log-prob tensor for the log_softmax VJP — at production shapes a ~560 MB
+    f32 write + re-read per step on top of the logits themselves.  Here the
+    cross term is ONE weighted reduction ``sum_v c_v * logits_v`` with the
+    per-vocab coefficient built from an iota compare (no gather, no pad-slice
+    — each of those cost a further full-stack read in the HLO byte profile),
+    plus the two logsumexp passes; the upcast to f32 is elementwise and fuses
+    into the reductions, so the only V-sized residual is the (bf16) logits the
+    vocab head materializes anyway.  The backward is one fused elementwise
+    kernel: d/d logits = (Σc)·softmax − c on valid positions.
+
+    ``target_b``: integer targets broadcastable to ``logits.shape[:-1]``.
+    Positions with target == pad contribute 0 (their coefficient column is
+    junk there — pad and target coincide — but they are masked out).
+    Equivalence with the log-prob path (value AND grad) is pinned by
+    tests/test_criterion_parity.py.
+    """
+    V = logits.shape[-1]
+    sm = smoothing
+    u = sm / (V - 2)
+
+    x = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1)  # (...,)
+    ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    is_tgt = (ids == target_b[..., None]).astype(jnp.float32)
+    is_pad = (ids == pad_idx).astype(jnp.float32)
+    # c_v = u everywhere, 1-sm at the target, 0 at <pad>
+    c = u + is_tgt * ((1.0 - sm) - u) - is_pad * u
+    wsum = jnp.sum(x * c, axis=-1)
+    # sum_v c_v = u*(V-2) + (1-sm) when target != pad (the only rows kept)
+    cross = wsum - (u * (V - 2) + (1.0 - sm)) * lse
+    ent = (V - 2) * u * jnp.log(u) + (1.0 - sm) * jnp.log(1.0 - sm)
+
+    valid = target_b != pad_idx
+    return jnp.where(valid, ent - cross, 0.0)
+
+
+def label_smoothing_kl_logits(
+    logits: jnp.ndarray,    # (N, S, V) raw logits (pre log_softmax; any float dtype)
+    target: jnp.ndarray,    # (N, S) int token ids
+    pad_idx: int,
+    smoothing: float,
+) -> jnp.ndarray:
+    """Same loss as :func:`label_smoothing_kl` computed from raw logits —
+    log_softmax folded into closed-form reductions, single weighted-reduce
+    cross term (see :func:`_ls_kl_pointwise_from_logits` for the byte math).
+    """
+    return jnp.sum(_ls_kl_pointwise_from_logits(logits, target, pad_idx, smoothing))
+
+
+def label_smoothing_kl_logits_stack(
+    stack: jnp.ndarray,     # (D, N, S, V) raw logits for all decoder depths
+    target: jnp.ndarray,    # (N, S) int token ids (shared across depths)
+    pad_idx: int,
+    smoothing: float,
+) -> jnp.ndarray:
+    """Per-depth caption losses computed over the WHOLE intermediate stack in
+    one pass -> (D,).
+
+    Equivalent to calling :func:`label_smoothing_kl_logits` on each depth
+    slice, but the backward is one fused elementwise kernel over the (D, N,
+    S, V) stack instead of D per-slice grad broadcasts back into the stacked
+    tensor (profile_bytes showed those per-depth ``broadcast_in_dim`` fusions
+    costing ~1.4 GB/step at production shapes)."""
+    pt = _ls_kl_pointwise_from_logits(stack, target[None], pad_idx, smoothing)
+    return jnp.sum(pt, axis=(1, 2))
+
+
 def multilabel_soft_margin_loss(x, y, row_valid=None):
     """torch.nn.functional.multilabel_soft_margin_loss (mean reduction),
     optionally restricted to valid batch rows."""
@@ -179,9 +252,15 @@ class SetCriterion:
         return {"loss_bbox": loss_bbox, "loss_giou": loss_giou}
 
     def loss_captions(self, outputs, targets, indices, num_segments, num_tokens):
-        log_pred = outputs["pred_captions"]          # (N, Lc-1, V) log-probs
-        cap = targets["cap_tokens"].reshape(log_pred.shape[0], -1)  # (N, Lc)
-        loss = label_smoothing_kl(log_pred, cap[:, 1:], self.pad_idx, self.smoothing)
+        # ``caption_head == "logits"``: pred_captions carries raw logits in
+        # compute dtype (train path — avoids storing the V-sized log-prob
+        # tensor for backward); default: log-probs (eval / legacy callers).
+        pred = outputs["pred_captions"]              # (N, Lc-1, V)
+        cap = targets["cap_tokens"].reshape(pred.shape[0], -1)  # (N, Lc)
+        if outputs.get("caption_head") == "logits":
+            loss = label_smoothing_kl_logits(pred, cap[:, 1:], self.pad_idx, self.smoothing)
+        else:
+            loss = label_smoothing_kl(pred, cap[:, 1:], self.pad_idx, self.smoothing)
         return {"loss_caption": loss / num_tokens}
 
     def _masked_bce(self, pred, target, row_valid):
@@ -290,8 +369,21 @@ class SetCriterion:
             jnp.sum(cap[:, 1:] != self.pad_idx).astype(jnp.float32), 1.0
         )
 
+        # train fast path: the full (depth, N, S, V) LOGITS stack — final +
+        # aux caption losses vectorized over the depth axis in one pass
+        # (loss_caption == stack[-1], loss_caption_{i} == stack[i])
+        stacked_captions = outputs.get("pred_captions_all")
+
         losses: Dict[str, jnp.ndarray] = {}
         for loss in self.losses:
+            if loss == "captions" and stacked_captions is not None:
+                per_depth = label_smoothing_kl_logits_stack(
+                    stacked_captions, cap[:, 1:], self.pad_idx, self.smoothing
+                ) / num_tokens  # (depth,)
+                losses["loss_caption"] = per_depth[-1]
+                for i in range(stacked_captions.shape[0] - 1):
+                    losses[f"loss_caption_{i}"] = per_depth[i]
+                continue
             losses.update(
                 self.get_loss(loss, outputs, targets, indices, num_segments, num_tokens, memory_mask)
             )

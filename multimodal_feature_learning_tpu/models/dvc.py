@@ -488,9 +488,12 @@ class UnimodalDVC:
             params["caption"], tgt, memory,
             tgt_mask, tgt_padding_mask, caption_pad_mask,
             deterministic=False, groups=self.max_gt, zeroed_mask=zeroed,
-            rngs=rngs,
-        )  # (depth, N, Lc-1, V) log-probs
+            return_logits=True, rngs=rngs,
+        )  # (depth, N, Lc-1, V) raw logits — fused-loss train path; the
+        # criterion folds the log_softmax into the KL reductions so no
+        # V-sized log-prob tensor is stored for backward (see criterion.py)
         out["pred_captions"] = outputs_caption[-1]
+        out["caption_head"] = "logits"
         if self.aux_loss:
             out["aux_outputs"] = [
                 {
@@ -499,10 +502,10 @@ class UnimodalDVC:
                 }
                 for i in range(out["outputs_segment_all"].shape[0] - 1)
             ]
-            out["aux_outputs_caption"] = [
-                {"pred_captions": outputs_caption[i]}
-                for i in range(outputs_caption.shape[0] - 1)
-            ]
+            # full logits stack: criterion computes final + aux caption
+            # losses vectorized over depth (one backward kernel, no
+            # per-depth grad broadcasts back into the stack)
+            out["pred_captions_all"] = outputs_caption
         memory_mask_float = crop_mask.astype(jnp.float32)
         return out, indices, indices_aux, memory_mask_float
 

@@ -143,13 +143,29 @@ class CrossAttention(nn.Module):
             log_m5 = jnp.broadcast_to(
                 log_m.reshape(B, 1, groups, 1), (B, H, groups, Tq)
             ).reshape(B, H, groups * Tq)
-            bias_col = (l_bias + log_m5)[..., None]  # (B, H, groups*Tq, 1)
-            full = jnp.concatenate([scaled, bias_col], axis=-1)
-            attn = nn.softmax(full, axis=-1)
+            bias_logit = l_bias + log_m5  # (B, H, groups*Tq)
+            # softmax over the augmented [scaled | bias] axis WITHOUT
+            # materializing the concatenated (…, Tk+1) tensor: profiling
+            # (tools/profile_bytes.py) showed the concatenate + its layout
+            # copies costing ~55 MB f32 per call, 12× per train step. The
+            # explicit max-shifted form below is the same math as
+            # nn.softmax(concat([scaled, bias_col])) — shared max, shared
+            # denominator — with the bias column handled as scalars.
+            m_max = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(scaled, axis=-1), bias_logit)
+            )  # (B, H, groups*Tq)
+            e_main = jnp.exp(scaled - m_max[..., None])
+            e_bias = jnp.exp(bias_logit - m_max)
+            denom = jnp.sum(e_main, axis=-1) + e_bias
+            attn = e_main / denom[..., None]
+            attn_bias = e_bias / denom  # (B, H, groups*Tq)
             attn = self.attn_drop(attn, deterministic=deterministic)
+            attn_bias = self.attn_drop(
+                attn_bias[..., None], deterministic=deterministic
+            )[..., 0]
             out = jnp.einsum(
-                "bhqk,bhkd->bhqd", attn[..., :Tk].astype(vh.dtype), vh
-            ) + attn[..., Tk:].astype(jnp.float32) * vb[None, :, None, :]
+                "bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh
+            ) + attn_bias[..., None].astype(jnp.float32) * vb[None, :, None, :]
         else:
             attn = nn.softmax(scaled, axis=-1)
             attn = self.attn_drop(attn, deterministic=deterministic)

@@ -533,6 +533,7 @@ class MultimodalCaptionDecoder(nn.Module):
         tgt_mask=None, tgt_padding_mask=None,
         video_memory_padding_mask=None, audio_memory_padding_mask=None,
         deterministic: bool = True,
+        return_logits: bool = False,
     ):
         x = self.target_embedding(tgt)
         x = x + self.pos_table[:, : x.shape[1], :]
@@ -549,7 +550,12 @@ class MultimodalCaptionDecoder(nn.Module):
             if self.return_intermediate:
                 intermediate.append(x)
         stacked = jnp.stack(intermediate) if self.return_intermediate else x[None]
-        return nn.log_softmax(self.head(stacked), axis=-1)
+        # train path (return_logits): raw compute-dtype logits for the
+        # criterion's fused label_smoothing_kl_logits (upcasts internally) —
+        # no stored V-sized log-prob or f32-logit tensor
+        if return_logits:
+            return self.head(stacked)
+        return nn.log_softmax(self.head(stacked).astype(jnp.float32), axis=-1)
 
 
 def _mm_precompute(mdl, video_memory, audio_memory):
@@ -891,14 +897,18 @@ class MultimodalDVC:
             a_cap_mask = nn.sigmoid(a_pred) > 0.5
         return (v_crop, v_mask, v_cap_mask, v_pred), (a_crop, a_mask, a_cap_mask, a_pred)
 
-    def _aux_outputs(self, out, outputs_caption):
+    def _aux_outputs(self, out, outputs_caption, caption_head=None):
+        # NOTE: the "caption_head" marker is train-only — eval `out` dicts are
+        # returned from jitted functions (e.g. tests/test_sharding.py) where a
+        # string leaf would be an invalid JAX output type.
         aux = [
             {"pred_segments": out["outputs_segment_all"][i],
              "pred_count": out["outputs_count_all"][i]}
             for i in range(out["outputs_segment_all"].shape[0] - 1)
         ]
+        mark = {"caption_head": caption_head} if caption_head else {}
         aux_cap = [
-            {"pred_captions": outputs_caption[i]}
+            {"pred_captions": outputs_caption[i], **mark}
             for i in range(outputs_caption.shape[0] - 1)
         ]
         return aux, aux_cap
@@ -918,11 +928,16 @@ class MultimodalDVC:
         outputs_caption = self.caption_decoder.apply(
             params["caption"], tgt, v_crop, a_crop,
             make_causal_mask(self.seq_len - 1), tgt == self.pad_idx,
-            v_cap_mask, a_cap_mask, deterministic=False, rngs=rngs,
-        )
+            v_cap_mask, a_cap_mask, deterministic=False, return_logits=True,
+            rngs=rngs,
+        )  # raw compute-dtype logits — fused-loss train path (see criterion.py)
         out["pred_captions"] = outputs_caption[-1]
+        out["caption_head"] = "logits"
         if self.aux_loss:
-            out["aux_outputs"], out["aux_outputs_caption"] = self._aux_outputs(out, outputs_caption)
+            aux, _ = self._aux_outputs(out, outputs_caption[:0])
+            out["aux_outputs"] = aux
+            # depth-vectorized caption losses (see criterion.py)
+            out["pred_captions_all"] = outputs_caption
         memory_mask = (v_mask.astype(jnp.float32), a_mask.astype(jnp.float32))
         return out, indices, indices_aux, memory_mask
 

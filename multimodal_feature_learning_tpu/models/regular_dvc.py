@@ -235,18 +235,27 @@ class RegularDVC:
             cap_mask = nn.sigmoid(pred_mask) > 0.5
         return out, indices, indices_aux, mem_crop, crop_mask, cap_mask
 
-    def _finish(self, out, outputs_caption):
+    def _finish(self, out, outputs_caption, caption_head=None):
+        # "caption_head" marker is train-only (string leaves are invalid jit
+        # outputs; eval `out` dicts cross jit boundaries in tests/tools).
+        # Train also ships the full logits stack for the criterion's
+        # depth-vectorized caption losses (see criterion.py).
         out["pred_captions"] = outputs_caption[-1]
+        if caption_head:
+            out["caption_head"] = caption_head
         if self.aux_loss:
             out["aux_outputs"] = [
                 {"pred_segments": out["outputs_segment_all"][i],
                  "pred_count": out["outputs_count_all"][i]}
                 for i in range(out["outputs_segment_all"].shape[0] - 1)
             ]
-            out["aux_outputs_caption"] = [
-                {"pred_captions": outputs_caption[i]}
-                for i in range(outputs_caption.shape[0] - 1)
-            ]
+            if caption_head == "logits":
+                out["pred_captions_all"] = outputs_caption
+            else:
+                out["aux_outputs_caption"] = [
+                    {"pred_captions": outputs_caption[i]}
+                    for i in range(outputs_caption.shape[0] - 1)
+                ]
         return out
 
     def forward_train(self, params, batch, dropout_rng):
@@ -258,9 +267,10 @@ class RegularDVC:
         tgt = cap_tokens[:, :-1]
         outputs_caption = self.caption_decoder.apply(
             params["caption"], tgt, mem, make_causal_mask(self.seq_len - 1),
-            tgt == self.pad_idx, cap_mask, deterministic=False, rngs=rngs,
-        )
-        out = self._finish(out, outputs_caption)
+            tgt == self.pad_idx, cap_mask, deterministic=False,
+            return_logits=True, rngs=rngs,
+        )  # raw compute-dtype logits — fused-loss train path (see criterion.py)
+        out = self._finish(out, outputs_caption, caption_head="logits")
         return out, indices, indices_aux, crop_mask.astype(jnp.float32)
 
     def forward_eval(

@@ -98,18 +98,8 @@ def _core_gather(value, temporal_shapes, sampling_locations, attention_weights):
 # tier 2: one-hot matmul (MXU) formulation
 # ---------------------------------------------------------------------------
 
-def _splat_matrix(temporal_shapes, sampling_locations, attention_weights, dtype):
-    """Build the (B, H, Q, S) combined interpolation x attention weight matrix.
-
-    out[b,h,q,s] = sum over (l, p) taps whose interpolation touches flat token
-    s of attn_weight * interp_weight.  The deformable attention output is then
-    a plain matmul ``splat @ value`` that runs on the MXU.
-    """
-    B, Q, H, L, P = sampling_locations.shape
-    # levels occupy disjoint slices of the flattened token axis: build each
-    # level's (B, H, Q, T_l) block and concatenate ONCE. (An earlier version
-    # accumulated into a zero buffer with dynamic_update_slice — profiling
-    # showed those whole-buffer updates dominating the encoder at ~1 ms each.)
+def _splat_pieces(temporal_shapes, sampling_locations, attention_weights, dtype):
+    """Per-level (B, H, Q, T_l) interpolation x attention weight blocks."""
     pieces = []
     for l, T in enumerate(temporal_shapes):
         T = int(T)
@@ -127,7 +117,25 @@ def _splat_matrix(temporal_shapes, sampling_locations, attention_weights, dtype)
             + (i1[..., None] == toks) * (w1 * aw)[..., None]
         )  # (B, H, Q, P, T)
         pieces.append(jnp.sum(contrib, axis=3).astype(dtype))  # (B, H, Q, T)
-    return jnp.concatenate(pieces, axis=3)
+    return pieces
+
+
+def _splat_matrix(temporal_shapes, sampling_locations, attention_weights, dtype):
+    """Build the (B, H, Q, S) combined interpolation x attention weight matrix.
+
+    out[b,h,q,s] = sum over (l, p) taps whose interpolation touches flat token
+    s of attn_weight * interp_weight.  The deformable attention output is then
+    a plain matmul ``splat @ value`` that runs on the MXU.
+
+    Levels occupy disjoint slices of the flattened token axis: build each
+    level's (B, H, Q, T_l) block and concatenate ONCE. (An earlier version
+    accumulated into a zero buffer with dynamic_update_slice — profiling
+    showed those whole-buffer updates dominating the encoder at ~1 ms each.)
+    """
+    return jnp.concatenate(
+        _splat_pieces(temporal_shapes, sampling_locations, attention_weights, dtype),
+        axis=3,
+    )
 
 
 def _core_matmul(value, temporal_shapes, sampling_locations, attention_weights):
@@ -139,6 +147,27 @@ def _core_matmul(value, temporal_shapes, sampling_locations, attention_weights):
     # dot in operand dtype: TPU MXU accumulates bf16 x bf16 in f32 internally,
     # and forcing an f32 output here would push the backward dots to f32
     out = jnp.einsum("bhqs,bhsd->bhqd", splat, v).astype(value.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, -1, H * Dh)
+
+
+def _core_matmul_acc(value, temporal_shapes, sampling_locations, attention_weights):
+    """Per-level matmul accumulation variant of _core_matmul (no concatenated
+    splat): out = sum_l splat_l @ value_l. Byte-profiled alternative — see
+    COMPONENTS.md; the concatenated splat's layout copies vs four smaller
+    dots trade within noise at production shapes."""
+    B, S, H, Dh = value.shape
+    pieces = _splat_pieces(
+        temporal_shapes, sampling_locations, attention_weights, value.dtype
+    )
+    v = jnp.swapaxes(value, 1, 2)  # (B, H, S, Dh)
+    out = None
+    start = 0
+    for p, T in zip(pieces, temporal_shapes):
+        vl = jax.lax.dynamic_slice_in_dim(v, start, int(T), axis=2)
+        o = jnp.einsum("bhqt,bhtd->bhqd", p, vl)
+        out = o if out is None else out + o
+        start += int(T)
+    out = out.astype(value.dtype)
     return out.transpose(0, 2, 1, 3).reshape(B, -1, H * Dh)
 
 
@@ -171,6 +200,8 @@ def ms_deform_attn_core(
         return _core_gather(value, temporal_shapes, sampling_locations, attention_weights)
     if backend == "matmul":
         return _core_matmul(value, temporal_shapes, sampling_locations, attention_weights)
+    if backend == "matmul_acc":
+        return _core_matmul_acc(value, temporal_shapes, sampling_locations, attention_weights)
     if backend == "pallas":
         from .pallas_msda import ms_deform_attn_pallas
 

@@ -4,6 +4,7 @@ Each test re-runs the exact reference loss computation (criterion.py) through
 public torch ops on the same random inputs and compares to our jnp criterion.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -13,6 +14,7 @@ from multimodal_feature_learning_tpu.models.criterion import (
     COUNTER_CLASS_RATE,
     cross_entropy_with_gaussian_mask,
     label_smoothing_kl,
+    label_smoothing_kl_logits,
     multilabel_soft_margin_loss,
     _bce_with_logits,
 )
@@ -80,6 +82,89 @@ def test_label_smoothing_kl_matches_torch():
         label_smoothing_kl(jnp.asarray(log_pred), jnp.asarray(target), PAD, smoothing)
     )
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-4)
+
+
+def test_label_smoothing_kl_logits_equivalence():
+    """The fused from-logits path (train hot path; no stored V-sized log-prob
+    tensor) must agree with the log-prob path in value AND gradient."""
+    rng = np.random.default_rng(7)
+    N, S, V = 6, 9, 101
+    PAD = 1
+    smoothing = 0.5
+    logits = (rng.normal(size=(N, S, V)) * 3).astype(np.float32)
+    target = rng.integers(0, V, size=(N, S))
+    target[0, 4:] = PAD
+    target[2, :] = PAD
+
+    x = jnp.asarray(logits)
+    t = jnp.asarray(target)
+
+    def via_log_probs(lg):
+        return label_smoothing_kl(jax.nn.log_softmax(lg, axis=-1), t, PAD, smoothing)
+
+    def via_logits(lg):
+        return label_smoothing_kl_logits(lg, t, PAD, smoothing)
+
+    v_ref, g_ref = jax.value_and_grad(via_log_probs)(x)
+    v_new, g_new = jax.value_and_grad(via_logits)(x)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
+
+    # production-scale vocab sanity: the Σc·lse cancellation stays accurate
+    V2 = 6563
+    lg2 = jnp.asarray((rng.normal(size=(4, 19, V2)) * 5).astype(np.float32))
+    t2 = jnp.asarray(rng.integers(0, V2, size=(4, 19)))
+    a = float(label_smoothing_kl(jax.nn.log_softmax(lg2, -1), t2, PAD, smoothing))
+    b = float(label_smoothing_kl_logits(lg2, t2, PAD, smoothing))
+    np.testing.assert_allclose(b, a, rtol=5e-5)
+
+    # bf16 logits (the production train path hands the head's compute-dtype
+    # output straight to the loss): the fused path upcasting internally must
+    # equal the log-prob path on the explicitly-upcast logits
+    lg_bf = lg2.astype(jnp.bfloat16)
+    a_bf = float(label_smoothing_kl(
+        jax.nn.log_softmax(lg_bf.astype(jnp.float32), -1), t2, PAD, smoothing
+    ))
+    b_bf = float(label_smoothing_kl_logits(lg_bf, t2, PAD, smoothing))
+    np.testing.assert_allclose(b_bf, a_bf, rtol=5e-5)
+
+
+def test_label_smoothing_kl_logits_stack_equivalence():
+    """Depth-vectorized stack losses == per-depth log-prob losses (value and
+    summed-gradient), covering the criterion's train fast path."""
+    from multimodal_feature_learning_tpu.models.criterion import (
+        label_smoothing_kl_logits_stack,
+    )
+
+    rng = np.random.default_rng(11)
+    D, N, S, V = 4, 5, 8, 73
+    PAD = 1
+    smoothing = 0.5
+    stack = jnp.asarray((rng.normal(size=(D, N, S, V)) * 2).astype(np.float32))
+    target = rng.integers(0, V, size=(N, S))
+    target[1, 5:] = PAD
+    t = jnp.asarray(target)
+
+    def via_stack(lg):
+        return label_smoothing_kl_logits_stack(lg, t, PAD, smoothing)
+
+    def via_loop(lg):
+        return jnp.stack([
+            label_smoothing_kl(jax.nn.log_softmax(lg[i], -1), t, PAD, smoothing)
+            for i in range(D)
+        ])
+
+    v_new = via_stack(stack)
+    v_ref = via_loop(stack)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref), rtol=1e-5)
+
+    g_new = jax.grad(lambda lg: via_stack(lg).sum())(stack)
+    g_ref = jax.grad(lambda lg: via_loop(lg).sum())(stack)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
 
 
 def test_multilabel_soft_margin_matches_torch():

@@ -58,7 +58,7 @@ def make_inputs(seed=0, B=2, H=2, Dh=4, Q=5, P=3, loc_range=(-0.2, 1.2)):
     return value, loc, aw
 
 
-@pytest.mark.parametrize("backend", ["gather", "matmul"])
+@pytest.mark.parametrize("backend", ["gather", "matmul", "matmul_acc"])
 def test_core_matches_grid_sample(backend):
     value, loc, aw = make_inputs()
     expected = torch_oracle(value, SHAPES, loc, aw)
@@ -68,7 +68,7 @@ def test_core_matches_grid_sample(backend):
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("backend", ["gather", "matmul"])
+@pytest.mark.parametrize("backend", ["gather", "matmul", "matmul_acc"])
 def test_core_boundary_locations(backend):
     """Exact boundary coordinates: 0, 1, and far out of range (border clamp)."""
     value, loc, aw = make_inputs(seed=1)
@@ -128,7 +128,7 @@ def test_gradients_match_torch():
         out = ms_deform_attn_core(v, SHAPES, l, a, backend=backend)
         return (out**2).sum()
 
-    for backend in ("gather", "matmul"):
+    for backend in ("gather", "matmul", "matmul_acc"):
         grads = jax.grad(jax_loss, argnums=(0, 1, 2))(
             jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw), backend
         )

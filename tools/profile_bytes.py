@@ -106,6 +106,8 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--stage", default="train",
                    choices=["train", "fwd_bwd", "greedy"])
+    p.add_argument("--msda-backend", default="",
+                   help="override cfg.msda_backend (matmul | matmul_acc | gather | pallas)")
     args = p.parse_args()
 
     import jax
@@ -126,6 +128,8 @@ def main():
 
     cfg = _flagship_cfg(batch_size=args.batch)
     cfg.compute_dtype = args.dtype
+    if args.msda_backend:
+        cfg.msda_backend = args.msda_backend
     vocab_size = real_vocab_size()
     model = build_model(cfg, vocab_size)
     batch = real_batches(cfg, vocab_size, n_batches=1)[0]

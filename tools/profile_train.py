@@ -63,6 +63,10 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--msda-backend", default="",
+                   help="override cfg.msda_backend (matmul | matmul_acc | gather | pallas)")
+    p.add_argument("--train-only", action="store_true",
+                   help="time only the full train step (skip prefix stages)")
     args = p.parse_args()
 
     import jax
@@ -85,6 +89,8 @@ def main():
     BATCH = args.batch
     cfg = _flagship_cfg(batch_size=BATCH)
     cfg.compute_dtype = args.dtype
+    if args.msda_backend:
+        cfg.msda_backend = args.msda_backend
     vocab_size = real_vocab_size()
     model = build_model(cfg, vocab_size)
     batch = real_batches(cfg, vocab_size, n_batches=1)[0]
@@ -143,14 +149,15 @@ def main():
         out, captions, *_ = model.forward_eval(params, batch, "serve")
         return captions
 
-    for name, fn in (
+    stages = () if args.train_only else (
         ("propose (enc+dec heads)", st_encode),
         ("propose+match", st_match),
         ("full fwd (train)", st_fwd),
         ("fwd+criterion", st_fwd_loss),
         ("fwd+criterion+bwd", st_fwd_bwd),
         ("greedy decode (serve)", st_greedy),
-    ):
+    )
+    for name, fn in stages:
         rows.append((name, timed(fn, (params, batch), args.iters),
                      *cost(fn, (params, batch))))
 

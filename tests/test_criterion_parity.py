@@ -187,3 +187,43 @@ def test_bce_with_logits_matches_torch():
     ).numpy()
     got = np.asarray(_bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_criterion_fast_path_matches_legacy_dict_plumbing():
+    """SetCriterion's train fast path (``pred_captions_all`` logits stack)
+    must produce the SAME loss-dict keys and values as the legacy eval-path
+    plumbing (log-prob ``pred_captions`` + ``aux_outputs_caption`` list)."""
+    from multimodal_feature_learning_tpu.models.criterion import SetCriterion
+
+    rng = np.random.default_rng(5)
+    D, N, S1, V = 3, 4, 8, 31   # S1 = max_caption_len; model sees S1-1 targets
+    PAD = 1
+    stack = jnp.asarray((rng.normal(size=(D, N, S1 - 1, V)) * 2).astype(np.float32))
+    cap = rng.integers(2, V, size=(N, S1))
+    cap[0, 5:] = PAD
+    cap[3, 2:] = PAD
+    targets = {
+        "cap_tokens": jnp.asarray(cap),
+        "gt_mask": jnp.ones((2, 2), dtype=jnp.float32),
+    }
+    crit = SetCriterion(
+        num_classes=1, weight_dict={}, losses=["captions"],
+        pad_idx=PAD, smoothing=0.5,
+    )
+
+    fast = crit(
+        {"pred_captions": stack[-1], "caption_head": "logits",
+         "pred_captions_all": stack},
+        targets, None, None, None,
+    )
+    legacy = crit(
+        {"pred_captions": jax.nn.log_softmax(stack[-1], axis=-1),
+         "aux_outputs_caption": [
+             {"pred_captions": jax.nn.log_softmax(stack[i], axis=-1)}
+             for i in range(D - 1)
+         ]},
+        targets, None, None, None,
+    )
+    assert set(fast) == set(legacy) == {"loss_caption", "loss_caption_0", "loss_caption_1"}
+    for k in fast:
+        np.testing.assert_allclose(float(fast[k]), float(legacy[k]), rtol=1e-5)

@@ -323,8 +323,8 @@ def beam_search_decode(
     k_caches = jnp.zeros((depth, N * K, seq_len, D), dtype=memory.dtype)
     v_caches = jnp.zeros((depth, N * K, seq_len, D), dtype=memory.dtype)
 
-    def step_fn(carry, t):
-        tokens, scores, done, k_caches, v_caches = carry
+    def step_fn(carry):
+        t, tokens, scores, done, k_caches, v_caches = carry
         flat_prev = tokens[:, :, :].reshape(N * K, seq_len)
         prev_tok = jnp.take_along_axis(
             flat_prev, (t - 1)[None, None].repeat(N * K, 0), axis=1
@@ -364,10 +364,18 @@ def beam_search_decode(
         new_tok = jnp.where(done, pad_idx, new_tok)
         tokens = tokens.at[:, :, t].set(new_tok)
         done = done | (new_tok == eos_idx)
-        return (tokens, new_scores, done, k_caches, v_caches), None
+        return (t + 1, tokens, new_scores, done, k_caches, v_caches)
 
-    (tokens, scores, done, _, _), _ = jax.lax.scan(
-        step_fn, (tokens, scores, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    def step_cond(carry):
+        # early exit once every beam of every row is finished — remaining
+        # steps would only append <pad> at zero cost (the pad_only row above),
+        # leaving tokens/scores unchanged, so the exit is outcome-identical
+        t, _, _, done, _, _ = carry
+        return (t < seq_len) & ~jnp.all(done)
+
+    _, tokens, scores, done, _, _ = jax.lax.while_loop(
+        step_cond, step_fn,
+        (jnp.int32(1), tokens, scores, done, k_caches, v_caches),
     )
 
     if length_penalty:

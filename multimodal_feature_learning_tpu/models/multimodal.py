@@ -613,8 +613,8 @@ def multimodal_greedy_decode(
     k_caches = jnp.zeros((depth, N, seq_len, D), dtype=video_memory.dtype)
     v_caches = jnp.zeros((depth, N, seq_len, D), dtype=video_memory.dtype)
 
-    def step_fn(carry, t):
-        captions, done, k_caches, v_caches = carry
+    def step_fn(carry):
+        t, captions, done, k_caches, v_caches = carry
         prev_tok = jnp.take_along_axis(
             captions, (t - 1)[None, None].repeat(N, 0), axis=1
         )[:, 0]
@@ -628,10 +628,20 @@ def multimodal_greedy_decode(
             tok = jnp.where(done, pad_idx, tok)
         captions = captions.at[:, t].set(tok)
         done = done | (tok == eos_idx)
-        return (captions, done, k_caches, v_caches), None
+        return (t + 1, captions, done, k_caches, v_caches)
 
-    (captions, done, _, _), _ = jax.lax.scan(
-        step_fn, (captions, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    def step_cond(carry):
+        # early exit once every caption has emitted <eos> (mirrors
+        # caption_decoder.greedy_decode; token-identical — frozen captions
+        # only ever append <pad>). faster_eval fills every position.
+        t, _, done, *_ = carry
+        if faster_eval:
+            return t < seq_len
+        return (t < seq_len) & ~jnp.all(done)
+
+    _, captions, done, _, _ = jax.lax.while_loop(
+        step_cond, step_fn,
+        (jnp.int32(1), captions, done, k_caches, v_caches),
     )
     if faster_eval:
         # reference appends an unconditional <eos> column (:348-351)
@@ -653,7 +663,7 @@ def multimodal_beam_search_decode(
     Beams of one event row are contiguous (row n -> n*K + k); per-modality
     memory k/v are projected once and repeated per beam; candidate expansion
     is one top_k over (K * vocab) per row and beam reordering is a cache
-    gather — the whole search is a single lax.scan inside jit.
+    gather — the whole search is a single early-exit lax.while_loop inside jit.
 
     Returns (N, seq_len + 1) captions of the best beam, same tail convention
     as multimodal_greedy_decode.
@@ -678,8 +688,8 @@ def multimodal_beam_search_decode(
     k_caches = jnp.zeros((depth, NK, seq_len, D), dtype=video_memory.dtype)
     v_caches = jnp.zeros((depth, NK, seq_len, D), dtype=video_memory.dtype)
 
-    def step_fn(carry, t):
-        tokens, scores, done, k_caches, v_caches = carry
+    def step_fn(carry):
+        t, tokens, scores, done, k_caches, v_caches = carry
         flat_prev = tokens.reshape(NK, seq_len)
         prev_tok = jnp.take_along_axis(
             flat_prev, (t - 1)[None, None].repeat(NK, 0), axis=1
@@ -711,10 +721,18 @@ def multimodal_beam_search_decode(
         new_tok = jnp.where(done, pad_idx, new_tok)
         tokens = tokens.at[:, :, t].set(new_tok)
         done = done | (new_tok == eos_idx)
-        return (tokens, new_scores, done, k_caches, v_caches), None
+        return (t + 1, tokens, new_scores, done, k_caches, v_caches)
 
-    (tokens, scores, done, _, _), _ = jax.lax.scan(
-        step_fn, (tokens, scores, done, k_caches, v_caches), jnp.arange(1, seq_len)
+    def step_cond(carry):
+        # early exit once every beam of every row is finished (mirrors
+        # caption_decoder.beam_search_decode; outcome-identical — finished
+        # beams only extend with zero-cost <pad>)
+        t, _, _, done, _, _ = carry
+        return (t < seq_len) & ~jnp.all(done)
+
+    _, tokens, scores, done, _, _ = jax.lax.while_loop(
+        step_cond, step_fn,
+        (jnp.int32(1), tokens, scores, done, k_caches, v_caches),
     )
 
     if length_penalty:

@@ -283,14 +283,18 @@ def main():
                             if cfg.transfer_dtype != "float32" else None),
         )
         ckpt_path = save_checkpoint(cfg.output_dir, state, epoch)
-        if (epoch + 1) % cfg.checkpoint_rate == 0 or (epoch + 1) % cfg.lr_drop == 0:
+        # rate 0 = never keep numbered checkpoints (the rolling `checkpoint`
+        # above is still written every epoch)
+        if ((cfg.checkpoint_rate and (epoch + 1) % cfg.checkpoint_rate == 0)
+                or (cfg.lr_drop and (epoch + 1) % cfg.lr_drop == 0)):
             save_checkpoint(cfg.output_dir, state, epoch, name=f"checkpoint{epoch:04d}")
             version_checkpoint(ckpt_path, epoch)
 
         log_stats = {f"train_{k}": v for k, v in train_stats.items()}
         log_stats.update({"epoch": epoch})
 
-        if (epoch + 1) % cfg.eval_rate == 0 or epoch == cfg.epochs - 1:
+        if ((cfg.eval_rate and (epoch + 1) % cfg.eval_rate == 0)
+                or epoch == cfg.epochs - 1):
             val_stats, _, scores = evaluate(
                 model, criterion, weight_dict, eval_step, state.params,
                 val_loader, mesh, vocab, cfg, epoch=epoch, score_fn=score_fn,

@@ -25,6 +25,12 @@ def main():
     p.add_argument("--config-overrides", nargs="*", default=[])
     args = p.parse_args()
 
+    from multimodal_feature_learning_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+
     from main import apply_overrides, make_synthetic_world
     from multimodal_feature_learning_tpu.config import load_config
     from multimodal_feature_learning_tpu.data.anet import build_dataset

@@ -101,6 +101,12 @@ def make_synthetic_world(cfg, tmpdir="./synthetic_anet"):
 def main():
     args = parse_args()
 
+    from multimodal_feature_learning_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+
     from multimodal_feature_learning_tpu.config import load_config
     from multimodal_feature_learning_tpu.data.anet import build_dataset
     from multimodal_feature_learning_tpu.data.loader import DataLoader, split_batch

@@ -27,7 +27,10 @@ class TrainState:
 
 
 def make_lr_schedule(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int):
-    """StepLR semantics: lr * 0.1 ** (epoch // lr_drop)."""
+    """StepLR semantics: lr * 0.1 ** (epoch // lr_drop); lr_drop <= 0 means
+    a constant lr (matches eval_rate/checkpoint_rate rate-0 semantics)."""
+    if lr_drop_epochs <= 0:
+        return lambda step: base_lr
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)

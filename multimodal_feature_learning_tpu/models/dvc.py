@@ -598,6 +598,88 @@ class UnimodalDVC:
             ]
         return out, captions_with_eos, indices, indices_aux, crop_mask.astype(jnp.float32)
 
+    def forward_serve(
+        self,
+        params,
+        video_tensor,
+        video_mask,
+        durations,
+        faster_eval: bool = False,
+        rank: str = "stability",
+    ):
+        """GT-free serving forward: propose → select top-G proposals WITHOUT
+        ground truth → caption. Beyond the reference, whose only inference
+        entry (inference.py:112-121) Hungarian-matches predictions against GT
+        annotations before captioning; a deployed system has no GT.
+
+        Selection: k* = argmax of the (trained) count head, clamped to
+        [1, G]; proposals ranked by
+          * 'stability' (default): negative mean drift of each query's
+            segment across decoder refinement layers — queries whose
+            segments have converged rank first. Works for every family.
+          * 'class': foreground probability 1 - p(no-object) when the class
+            head exists. NOTE: the class-CE term is commented out in the
+            reference criterion (criterion.py:90-93), so this head is
+            untrained in both systems; provided for parity with the PDVC
+            protocol only.
+
+        Returns a dict with segments (B, G, 2) seconds, captions
+        (B, G, Lc+1) token ids incl. BOS, k (B,) predicted event counts,
+        scores (B, G) selection scores, valid (B, G) bool (row < k*).
+        """
+        params = self._cast_params(params)
+        out = self.proposal_net.apply(
+            params["proposal"],
+            video_tensor.astype(self.compute_dtype),
+            video_mask, durations, True,
+        )
+        if self.compute_dtype != jnp.float32:
+            keep = ("memory", "query_features")
+            out = {
+                k: (v if k in keep else cast_floating(v, jnp.float32))
+                for k, v in out.items()
+            }
+        G = self.max_gt
+        if rank == "class" and "pred_logits" in out:
+            scores = 1.0 - out["pred_logits"][..., -1]  # (B, Q) foreground
+        else:
+            seg_all = out["outputs_segment_all"]  # (layers, B, Q, 2)
+            scores = -jnp.mean(
+                jnp.abs(seg_all[1:] - seg_all[:-1]), axis=(0, 3)
+            )  # (B, Q)
+        top_scores, indices = jax.lax.top_k(scores, G)  # (B, G) each
+
+        k = jnp.argmax(out["pred_count"], axis=-1)  # (B,)
+        k = jnp.clip(k, 1, G)
+        valid = jnp.arange(G)[None, :] < k[:, None]  # (B, G)
+
+        memory, crop_mask, caption_pad_mask, _ = self._prepare_caption_inputs(
+            params, out, {"durations": durations}, indices
+        )
+        zeroed = crop_mask if self.use_differentiable_mask else None
+        kv_dtype = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+        )
+        captions = greedy_decode(
+            self.caption_decoder, params["caption"],
+            memory, caption_pad_mask,
+            self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+            faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
+            zeroed_mask=zeroed,
+        )  # (B*G, Lc+1)
+        B = indices.shape[0]
+        rows = jnp.arange(B)[:, None]
+        segments = denormalize_segments(
+            out["pred_segments"][rows, indices], durations[:, None]
+        )  # (B, G, 2) seconds
+        return {
+            "segments": segments,
+            "captions": captions.reshape(B, G, -1),
+            "k": k,
+            "scores": top_scores,
+            "valid": valid,
+        }
+
 
 def build_model(cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3, embedding_matrix=None):
     return UnimodalDVC(cfg, vocab_size, pad_idx, bos_idx, eos_idx, embedding_matrix)

@@ -1,0 +1,275 @@
+"""Production serving driver: micro-batched, GT-free dense video captioning.
+
+The reference has no serving story — its only inference entry
+(reference inference.py:112-121) Hungarian-matches predictions against GT
+annotations before captioning, so it cannot run on un-annotated video. This
+driver serves `UnimodalDVC.forward_serve` (GT-free proposal selection via the
+trained count head) behind a micro-batching queue:
+
+  * requests (one video's features + duration) arrive asynchronously;
+  * a batcher thread collects up to ``batch_size`` requests or waits at most
+    ``max_wait_ms``, pads the tail, and dispatches ONE jitted program;
+  * each request's Future resolves to ``k`` {segment, caption} events.
+
+Static shapes throughout (every request is nearest-rescaled to the production
+300-token grid at ingest), so the server compiles exactly two programs (the
+serve step and nothing else) and never recompiles under load.
+
+Demo / load test (Poisson arrivals, closed measurement):
+  python serve.py --synthetic --rps 100 --n-requests 256 [--resume CKPT] \
+      [--batch-size 16] [--max-wait-ms 10]
+prints one JSON line: sustained throughput + p50/p95/p99 request latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List
+
+import numpy as np
+
+
+class DVCServer:
+    """Micro-batching server over a jitted GT-free serve step."""
+
+    def __init__(self, model, params, vocab, cfg, batch_size: int = 16,
+                 max_wait_ms: float = 10.0, faster_eval: bool = False,
+                 rank: str = "stability"):
+        import jax
+
+        self.model = model
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.rescale_len = cfg.dataset.activity_net.video_rescale_len
+        self.feature_dim = cfg.dvc.detr.feature_dim
+
+        def step(params, video, mask, durations):
+            return model.forward_serve(
+                params, video, mask, durations,
+                faster_eval=faster_eval, rank=rank,
+            )
+
+        self._step = jax.jit(step)
+        self._params = params
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+
+        # warmup compile at serving shapes
+        B, T, D = batch_size, self.rescale_len, self.feature_dim
+        dummy = self._step(
+            params,
+            np.zeros((B, T, D), np.float32),
+            np.zeros((B, T), bool),
+            np.ones((B,), np.float32),
+        )
+        jax.block_until_ready(dummy["captions"])
+
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    # -- client API -------------------------------------------------------
+
+    def submit(self, features: np.ndarray, duration: float) -> Future:
+        """features: (T, feature_dim) float array; duration: seconds.
+        Returns a Future resolving to a list of k events, each
+        {"segment": (start_s, end_s), "caption": str, "score": float}."""
+        if self._closed:
+            raise RuntimeError("server closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(features, np.float32), float(duration), fut))
+        return fut
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
+    # -- internals --------------------------------------------------------
+
+    def _ingest(self, features: np.ndarray) -> np.ndarray:
+        """Per-request nearest rescale to the static 300-token grid —
+        the same resize the production collate applies (data/anet.py)."""
+        from multimodal_feature_learning_tpu.data.anet import nearest_resize
+
+        return nearest_resize(features[None], self.rescale_len, axis=1)[0]
+
+    def _serve_loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch):
+        B, T, D = self.batch_size, self.rescale_len, self.feature_dim
+        video = np.zeros((B, T, D), np.float32)
+        durations = np.ones((B,), np.float32)
+        for i, (feats, dur, _) in enumerate(batch):
+            video[i] = self._ingest(feats)
+            durations[i] = dur
+        mask = np.zeros((B, T), bool)  # every grid position is valid
+        out = self._step(self._params, video, mask, durations)
+        segments = np.asarray(out["segments"])   # (B, G, 2) seconds
+        captions = np.asarray(out["captions"])   # (B, G, Lc+1)
+        ks = np.asarray(out["k"])                # (B,)
+        scores = np.asarray(out["scores"])       # (B, G)
+        for i, (_, _, fut) in enumerate(batch):
+            k = int(ks[i])
+            strings = _captions_to_strings(captions[i, :k], self.vocab)
+            events = [
+                {
+                    "segment": (float(segments[i, j, 0]), float(segments[i, j, 1])),
+                    "caption": strings[j],
+                    "score": float(scores[i, j]),
+                }
+                for j in range(k)
+            ]
+            fut.set_result(events)
+
+
+def _captions_to_strings(captions, vocab) -> List[str]:
+    from multimodal_feature_learning_tpu.utils.postprocess import (
+        captions_to_string,
+    )
+
+    return captions_to_string(captions, vocab)
+
+
+# -- demo / load test ------------------------------------------------------
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--resume", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--rps", type=float, default=100.0,
+                   help="Poisson arrival rate of the load generator")
+    p.add_argument("--n-requests", type=int, default=256)
+    p.add_argument("--faster-eval", action="store_true")
+    p.add_argument("--config-overrides", nargs="*", default=[])
+    args = p.parse_args()
+
+    from multimodal_feature_learning_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+
+    import jax
+
+    from main import apply_overrides, make_synthetic_world
+    from multimodal_feature_learning_tpu.config import load_config, recompute_losses
+    from multimodal_feature_learning_tpu.data.anet import build_dataset
+    from multimodal_feature_learning_tpu.models.dvc import build_model
+
+    cfg = load_config("train")
+    if args.synthetic:
+        cfg = make_synthetic_world(cfg)
+    cfg = apply_overrides(cfg, args.config_overrides)
+    recompute_losses(cfg)
+
+    np.random.seed(cfg.seed)
+    val_ds, vocab = build_dataset("val", cfg)
+    model = build_model(cfg, len(vocab), vocab.pad_idx, vocab.bos_idx, vocab.eos_idx)
+
+    # params: restored checkpoint or a fresh init (load test only)
+    T, D = cfg.dataset.activity_net.video_rescale_len, cfg.dvc.detr.feature_dim
+    init_batch = {
+        "video_tensor": np.zeros((args.batch_size, T, D), np.float32),
+        "video_mask": np.zeros((args.batch_size, T), bool),
+        "durations": np.ones((args.batch_size,), np.float32),
+        "gt_segments": np.zeros(
+            (args.batch_size, cfg.dataset.activity_net.max_gt_target_segments, 2),
+            np.float32),
+        "gt_mask": np.zeros(
+            (args.batch_size, cfg.dataset.activity_net.max_gt_target_segments),
+            bool),
+        "cap_tokens": np.full(
+            (args.batch_size, cfg.dataset.activity_net.max_gt_target_segments,
+             cfg.dataset.activity_net.max_caption_len_all),
+            vocab.pad_idx, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(cfg.seed), init_batch)
+    if args.resume:
+        from multimodal_feature_learning_tpu.engine.state import (
+            create_train_state, load_checkpoint, make_optimizer,
+        )
+
+        abstract = create_train_state(params, make_optimizer(cfg, 1))
+        params = load_checkpoint(args.resume, abstract)["state"].params
+
+    server = DVCServer(model, params, vocab, cfg,
+                       batch_size=args.batch_size,
+                       max_wait_ms=args.max_wait_ms,
+                       faster_eval=args.faster_eval)
+
+    # request stream: real val features through the dataset's own loader path
+    reqs = []
+    for i in range(args.n_requests):
+        sample = val_ds[i % len(val_ds)]
+        if sample is None:
+            continue
+        reqs.append((sample["video_feature"], float(sample["duration"])))
+
+    # Poisson load generator; per-request latency via completion callbacks
+    rng = np.random.default_rng(0)
+    done: List[float] = []
+    lock = threading.Lock()
+    t_start = time.monotonic()
+    pending = []
+    for feats, dur in reqs:
+        t0 = time.monotonic()
+        fut = server.submit(feats, dur)
+
+        def _cb(f, t0=t0):
+            with lock:
+                done.append(time.monotonic() - t0)
+
+        fut.add_done_callback(_cb)
+        pending.append(fut)
+        time.sleep(float(rng.exponential(1.0 / args.rps)))
+    for fut in pending:
+        fut.result()
+    t_done = time.monotonic()
+    server.close()
+
+    lat_ms = np.array(sorted(done)) * 1000.0
+    result = {
+        "metric": "dvc_serving",
+        "requests": len(done),
+        "offered_rps": args.rps,
+        "achieved_rps": round(len(done) / (t_done - t_start), 2),
+        "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "batch_size": args.batch_size,
+        "max_wait_ms": args.max_wait_ms,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

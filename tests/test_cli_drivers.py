@@ -67,3 +67,27 @@ def test_main_then_inference(tmp_path):
     # scored eval ran and reported finite stats
     assert "val stats:" in r.stdout
     assert "METEOR" in r.stdout or "loss" in r.stdout
+
+
+def test_rate_zero_gating(tmp_path):
+    """eval_rate=0 / checkpoint_rate=0 mean 'final-epoch eval only' /
+    'rolling checkpoint only' — not modulo-by-zero crashes (main.py epoch
+    loop; reference main.py:110-168 has no such mode)."""
+    out_dir = tmp_path / "run0"
+    tiny = [o for o in TINY
+            if not o.startswith(("eval_rate=", "checkpoint_rate="))]
+    run(
+        [sys.executable, os.path.join(REPO, "main.py"), "--synthetic",
+         "--epochs", "2", "--batch-size", "8", "--output-dir", str(out_dir),
+         "--config-overrides", *tiny, "eval_rate=0", "checkpoint_rate=0",
+         "lr_drop=0"],
+        cwd=str(tmp_path),
+    )
+    # rolling checkpoint written, but no numbered per-epoch checkpoints kept
+    assert (out_dir / "checkpoint").is_dir()
+    numbered = [p for p in out_dir.iterdir() if p.name.startswith("checkpoint0")]
+    assert numbered == []
+    # eval ran exactly once, on the final epoch
+    val_log = (out_dir / "val_log.txt").read_text().strip().splitlines()
+    epochs = [json.loads(l)["epoch"] for l in val_log]
+    assert epochs == [1]

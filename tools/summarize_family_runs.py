@@ -20,6 +20,13 @@ FAMILIES = [
             "cross-modal sparse DVC, beam-search eval "
             "(BASELINE configs #4+#5; reduced dims, see "
             "tools/run_family_convergence.sh)"),
+    ("dense", "UnimodalDeformableDVC: dense deformable encoder (no top-rho "
+              "sparsification) + class head + refinement "
+              "(BASELINE config #2; dvc.use_sparse_detr=False, "
+              "use_deformable_detr=True; tools/run_family_dense.sh)"),
+    ("regular", "RegularDVC: vanilla cross-attention decoder over frame "
+                "features, no multi-scale pyramid (both family flags False; "
+                "tools/run_family_dense.sh)"),
 ]
 
 SCORE_KEYS = ["Bleu_1", "Bleu_2", "METEOR", "ROUGE_L", "CIDEr",
@@ -66,8 +73,10 @@ def main():
            "Short real-annotation training runs for the non-flagship model "
            "families, driven end-to-end through `main.py` (same engine, "
            "loader, eval, and scorer as the flagship convergence runs). "
-           "Protocol: `tools/run_family_convergence.sh`; raw logs "
-           "`runs_mm_conv.log` / `runs_raw_conv.log`.",
+           "Protocol: `tools/run_family_convergence.sh` (mm/raw) and "
+           "`tools/run_family_dense.sh` (dense/regular); raw logs "
+           "`runs_mm_conv.log` / `runs_raw_conv.log` / "
+           "`runs_dense_conv.log` / `runs_regular_conv.log`.",
            ""]
     prior = existing_sections()
     for name, desc in FAMILIES:

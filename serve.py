@@ -56,19 +56,31 @@ class DVCServer:
             )
 
         self._step = jax.jit(step)
-        self._params = params
+        # pin weights device-resident ONCE — a restored checkpoint is host
+        # numpy, and passing it per call would re-ship every parameter
+        # through the host->device link on every dispatch
+        self._params = jax.device_put(params)
+        # serving telemetry: dispatch count, filled slots, step wall time
+        self.stats = {"dispatches": 0, "filled": 0, "step_s": 0.0}
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
 
-        # warmup compile at serving shapes
+        # warmup compile at serving shapes — with the SAME device-resident
+        # params object the dispatch path uses (a host-numpy params pytree
+        # compiles a different executable signature and would force a full
+        # recompile on the first real dispatch)
         B, T, D = batch_size, self.rescale_len, self.feature_dim
         dummy = self._step(
-            params,
+            self._params,
             np.zeros((B, T, D), np.float32),
             np.zeros((B, T), bool),
             np.ones((B,), np.float32),
         )
-        jax.block_until_ready(dummy["captions"])
+        # HARD sync: block_until_ready does not actually wait on the axon
+        # tunnel platform (same quirk bench.py works around) — without a
+        # host fetch the warmup compile is still in flight when __init__
+        # returns and the first real dispatch absorbs it
+        np.asarray(dummy["captions"])
 
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
@@ -121,6 +133,8 @@ class DVCServer:
             self._dispatch(batch)
 
     def _dispatch(self, batch):
+        import jax
+
         B, T, D = self.batch_size, self.rescale_len, self.feature_dim
         video = np.zeros((B, T, D), np.float32)
         durations = np.ones((B,), np.float32)
@@ -128,11 +142,20 @@ class DVCServer:
             video[i] = self._ingest(feats)
             durations[i] = dur
         mask = np.zeros((B, T), bool)  # every grid position is valid
+        t0 = time.monotonic()
         out = self._step(self._params, video, mask, durations)
-        segments = np.asarray(out["segments"])   # (B, G, 2) seconds
-        captions = np.asarray(out["captions"])   # (B, G, Lc+1)
-        ks = np.asarray(out["k"])                # (B,)
-        scores = np.asarray(out["scores"])       # (B, G)
+        # one bulk fetch (4 sequential np.asarray calls would pay 4 tunnel
+        # round trips per dispatch)
+        host = jax.device_get(
+            {k: out[k] for k in ("segments", "captions", "k", "scores")}
+        )
+        segments = host["segments"]   # (B, G, 2) seconds
+        captions = host["captions"]   # (B, G, Lc+1)
+        ks = host["k"]                # (B,)
+        scores = host["scores"]       # (B, G)
+        self.stats["dispatches"] += 1
+        self.stats["filled"] += len(batch)
+        self.stats["step_s"] += time.monotonic() - t0
         for i, (_, _, fut) in enumerate(batch):
             k = int(ks[i])
             strings = _captions_to_strings(captions[i, :k], self.vocab)
@@ -253,6 +276,7 @@ def main():
     for fut in pending:
         fut.result()
     t_done = time.monotonic()
+    stats = dict(server.stats)
     server.close()
 
     lat_ms = np.array(sorted(done)) * 1000.0
@@ -267,6 +291,9 @@ def main():
         "batch_size": args.batch_size,
         "max_wait_ms": args.max_wait_ms,
         "backend": jax.default_backend(),
+        "dispatches": stats["dispatches"],
+        "mean_batch_fill": round(stats["filled"] / max(stats["dispatches"], 1), 2),
+        "mean_step_ms": round(1000 * stats["step_s"] / max(stats["dispatches"], 1), 2),
     }
     print(json.dumps(result))
 

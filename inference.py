@@ -16,6 +16,9 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--resume", default=None)
+    p.add_argument("--from-reference-checkpoint", default=None,
+                   help="migrate a reference-trained .pth (main.py:129-134 "
+                        "format) into the flagship UnimodalSparseDVC params")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--val-mode", default="teacher_forcing",
@@ -83,6 +86,16 @@ def main():
     batch0 = next(iter(val_loader))
     arrays0, _ = split_batch(batch0)
     params = model.init(jax.random.PRNGKey(cfg.seed), arrays0)
+    if args.from_reference_checkpoint:
+        from multimodal_feature_learning_tpu.utils.ref_bridge import (
+            load_reference_checkpoint,
+        )
+
+        params, leftover = load_reference_checkpoint(
+            args.from_reference_checkpoint, jax.device_get(params), cfg
+        )
+        print(f"imported reference checkpoint {args.from_reference_checkpoint} "
+              f"({len(leftover)} reference-only keys skipped)")
     params = replicate_params(params, mesh)
 
     if cfg.resume:

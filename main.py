@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--output-dir", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--from-reference-checkpoint", default=None,
+                   help="migrate a reference-trained .pth (main.py:129-134 "
+                        "format) into the flagship UnimodalSparseDVC params")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic features/annotations smoke run (no data needed)")
     p.add_argument("--config-overrides", nargs="*", default=[],
@@ -206,6 +209,16 @@ def main():
     params = model.init(rng, arrays0)
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e6:.2f} M")
+    if args.from_reference_checkpoint:
+        from multimodal_feature_learning_tpu.utils.ref_bridge import (
+            load_reference_checkpoint,
+        )
+
+        params, leftover = load_reference_checkpoint(
+            args.from_reference_checkpoint, jax.device_get(params), cfg
+        )
+        print(f"imported reference checkpoint {args.from_reference_checkpoint} "
+              f"({len(leftover)} reference-only keys skipped)")
     params = replicate_params(params, mesh)
 
     tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))

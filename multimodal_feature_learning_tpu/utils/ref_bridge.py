@@ -240,6 +240,181 @@ _UNUSED_PREFIXES = (
 )
 
 
+# -- inverse: reference torch checkpoint -> flax params -------------------------
+#
+# Lets a user of the reference bring their *trained* PyTorch checkpoints
+# (main.py:129-134 saves {'model': state_dict, ...}) into this framework.
+# Exact inverse of `transplant` above; round-trip is bit-identical
+# (tests/test_ref_import.py).
+
+
+def _a(t):
+    import numpy as np
+
+    return np.ascontiguousarray(t.detach().cpu().numpy())
+
+
+class _SDReader:
+    """state_dict view that records which keys were consumed."""
+
+    def __init__(self, sd):
+        self.sd = sd
+        self.used = set()
+
+    def __call__(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def __contains__(self, key):
+        return key in self.sd
+
+
+def _inv_dense(r, torch_name, p):
+    p["kernel"] = _a(r(f"{torch_name}.weight")).T.copy()
+    if "bias" in p:
+        p["bias"] = _a(r(f"{torch_name}.bias"))
+
+
+def _inv_ln(r, torch_name, p):
+    p["scale"] = _a(r(f"{torch_name}.weight"))
+    p["bias"] = _a(r(f"{torch_name}.bias"))
+
+
+def _inv_cross_attention(r, torch_name, p):
+    _inv_dense(r, f"{torch_name}.q_linear", p["q_linear"])
+    _inv_dense(r, f"{torch_name}.k_linear", p["k_linear"])
+    _inv_dense(r, f"{torch_name}.v_linear", p["v_linear"])
+    _inv_dense(r, f"{torch_name}.projection_layer", p["projection_layer"])
+
+
+def _inv_msda(r, torch_name, p):
+    for sub in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+        _inv_dense(r, f"{torch_name}.{sub}", p[sub])
+
+
+def _inv_mha(r, torch_name, p):
+    w = _a(r(f"{torch_name}.in_proj_weight"))  # (3d, d) rows = [q; k; v]
+    b = _a(r(f"{torch_name}.in_proj_bias"))
+    d = w.shape[1]
+    for i, name in enumerate(("q_linear", "k_linear", "v_linear")):
+        p[name]["kernel"] = w[i * d:(i + 1) * d].T.copy()
+        p[name]["bias"] = b[i * d:(i + 1) * d]
+    _inv_dense(r, f"{torch_name}.out_proj", p["projection_layer"])
+
+
+def import_reference_state_dict(state_dict, params, cfg):
+    """Reference UnimodalSparseDVC state_dict -> flax params pytree.
+
+    ``params`` is a template with the right structure (e.g. ``model.init(...)``
+    or a fresh TrainState's params); returns a new tree with every leaf the
+    reference eval path uses replaced by the checkpoint value. Raises if a
+    needed key is absent; warns (returns them) for checkpoint keys that have
+    no counterpart here (the reference's dead eval-path params, see
+    ``_UNUSED_PREFIXES``).
+    """
+    import copy
+
+    import flax
+
+    params = flax.core.unfreeze(copy.deepcopy(flax.core.unfreeze(params)))
+    det = cfg.dvc.detr
+    r = _SDReader(state_dict)
+
+    pp = params["proposal"]["params"]
+    pp["query_embedding"] = _a(r("query_embedding.weight"))
+    for enc_dec, pname in (("encoder", "segment_embedding_encoder"),
+                           ("decoder", "segment_embedding_decoder")):
+        if pname in pp:
+            for i in range(3):
+                _inv_dense(r, f"segment_embedding_{enc_dec}.layers.{i}",
+                           pp[pname][f"layers_{i}"])
+    if "count_head_encoder" in pp:
+        _inv_dense(r, "count_head_encoder", pp["count_head_encoder"])
+    _inv_dense(r, "count_head_decoder", pp["count_head_decoder"])
+
+    be = pp["base_encoder"]
+    _inv_dense(r, "pos_embed.duration_embed_layer",
+               be["pos_embed"]["duration_embed_layer"])
+    for lvl in range(det.num_feature_levels):
+        # torch Conv1d (out, in, k) -> flax (k, in, out)
+        k = _a(r(f"base_encoder.input_proj.{lvl}.0.weight"))
+        be[f"input_proj_{lvl}"]["kernel"] = k.transpose(2, 1, 0).copy()
+        be[f"input_proj_{lvl}"]["bias"] = _a(r(f"base_encoder.input_proj.{lvl}.0.bias"))
+        be[f"gn_{lvl}"]["scale"] = _a(r(f"base_encoder.input_proj.{lvl}.1.weight"))
+        be[f"gn_{lvl}"]["bias"] = _a(r(f"base_encoder.input_proj.{lvl}.1.bias"))
+
+    tr = pp["transformer"]
+    pre = "unimodal_sparse_transformer"
+    tr["level_embed"] = _a(r(f"{pre}.level_embed"))
+    _inv_dense(r, f"{pre}.enc_output", tr["enc_output"])
+    _inv_ln(r, f"{pre}.enc_output_norm", tr["enc_output_norm"])
+    _inv_dense(r, f"{pre}.reference_points", tr["reference_points_head"])
+    mp = tr["enc_mask_predictor"]
+    _inv_ln(r, f"{pre}.enc_mask_predictor.layer1.0", mp["norm"])
+    _inv_dense(r, f"{pre}.enc_mask_predictor.layer1.1", mp["dense_in"])
+    _inv_dense(r, f"{pre}.enc_mask_predictor.layer2.0", mp["dense_1"])
+    _inv_dense(r, f"{pre}.enc_mask_predictor.layer2.2", mp["dense_2"])
+    _inv_dense(r, f"{pre}.enc_mask_predictor.layer2.4", mp["dense_out"])
+    if det.use_enc_aux_loss and "segment_embedding_encoder" in pp:
+        # aliased duplicates of the top-level encoder heads
+        # (unimodal_sparse_dvc.py:85-87) — consume, values already loaded
+        for i in range(3):
+            for wb in ("weight", "bias"):
+                r(f"{pre}.encoder.segment_embedding.layers.{i}.{wb}")
+        r(f"{pre}.encoder.count_head.weight"), r(f"{pre}.encoder.count_head.bias")
+
+    for i in range(det.enc_layers):
+        lp = tr[f"enc_layers_{i}"]
+        base = f"{pre}.encoder.layers.{i}"
+        _inv_msda(r, f"{base}.self_attn", lp["self_attn"])
+        _inv_ln(r, f"{base}.norm1", lp["norm1"])
+        _inv_ln(r, f"{base}.norm2", lp["norm2"])
+        _inv_dense(r, f"{base}.linear1", lp["linear1"])
+        _inv_dense(r, f"{base}.linear2", lp["linear2"])
+    for i in range(det.dec_layers):
+        lp = tr[f"dec_layers_{i}"]
+        base = f"{pre}.decoder.layers.{i}"
+        _inv_msda(r, f"{base}.cross_attn", lp["cross_attn"])
+        _inv_mha(r, f"{base}.self_attn", lp["self_attn"])
+        _inv_ln(r, f"{base}.norm1", lp["norm1"])
+        _inv_ln(r, f"{base}.norm2", lp["norm2"])
+        _inv_ln(r, f"{base}.norm3", lp["norm3"])
+        _inv_dense(r, f"{base}.linear1", lp["linear1"])
+        _inv_dense(r, f"{base}.linear2", lp["linear2"])
+
+    cp = params["caption"]["params"]
+    cp["target_embedding"]["Embed_0"]["embedding"] = _a(
+        r("unimodal_caption_decoder.target_embedding.embedder.weight")
+    )
+    for i in range(cfg.dvc.caption.depth):
+        lp = cp[f"decoder_{i}"]
+        base = f"unimodal_caption_decoder.decoder.{i}"
+        _inv_cross_attention(r, f"{base}.self_attention", lp["self_attention"])
+        _inv_cross_attention(r, f"{base}.cross_attention", lp["cross_attention"])
+        for j in (1, 2, 3):
+            _inv_ln(r, f"{base}.layer_norm_{j}", lp[f"layer_norm_{j}"])
+        _inv_dense(r, f"{base}.mlp.fully_connected_1", lp["mlp"]["fully_connected_1"])
+        _inv_dense(r, f"{base}.mlp.fully_connected_2", lp["mlp"]["fully_connected_2"])
+    _inv_dense(r, "unimodal_caption_decoder.head", cp["head"])
+
+    leftover = sorted(
+        k for k in state_dict
+        if k not in r.used and not k.startswith(_UNUSED_PREFIXES)
+    )
+    return params, leftover
+
+
+def load_reference_checkpoint(path, params, cfg):
+    """Load a reference ``torch.save``d checkpoint file (main.py:129-134
+    format, ``{'model': state_dict, ...}``, or a bare state_dict) into our
+    params. Returns (params, leftover_keys)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return import_reference_state_dict(sd, params, cfg)
+
+
 def load_into_reference(ref_model, state_dict) -> None:
     """Strict-for-used-params load of a transplanted state_dict."""
     allowed = _UNUSED_PREFIXES

@@ -184,6 +184,8 @@ def _captions_to_strings(captions, vocab) -> List[str]:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--resume", default=None)
+    p.add_argument("--from-reference-checkpoint", default=None,
+                   help="serve weights migrated from a reference-trained .pth")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
@@ -242,6 +244,14 @@ def main():
 
         abstract = create_train_state(params, make_optimizer(cfg, 1))
         params = load_checkpoint(args.resume, abstract)["state"].params
+    elif args.from_reference_checkpoint:
+        from multimodal_feature_learning_tpu.utils.ref_bridge import (
+            load_reference_checkpoint,
+        )
+
+        params, _ = load_reference_checkpoint(
+            args.from_reference_checkpoint, jax.device_get(params), cfg
+        )
 
     server = DVCServer(model, params, vocab, cfg,
                        batch_size=args.batch_size,

@@ -382,6 +382,13 @@ def import_reference_state_dict(state_dict, params, cfg):
         _inv_dense(r, f"{base}.linear1", lp["linear1"])
         _inv_dense(r, f"{base}.linear2", lp["linear2"])
 
+    # context-mask MLP: dead on the reference's eval path but trained by the
+    # `contexts` loss — carry it over so fine-tuning resumes where it left off
+    if "context_mask" in params and "context_mask_model.layer_1.weight" in state_dict:
+        cm = params["context_mask"]["params"]
+        for i in (1, 2, 3):
+            _inv_dense(r, f"context_mask_model.layer_{i}", cm[f"layer_{i}"])
+
     cp = params["caption"]["params"]
     cp["target_embedding"]["Embed_0"]["embedding"] = _a(
         r("unimodal_caption_decoder.target_embedding.embedder.weight")

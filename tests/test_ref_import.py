@@ -95,6 +95,35 @@ def test_roundtrip_bit_identical(enc_aux):
     assert_trees_bit_identical(imported, params)
 
 
+def test_context_mask_imports_for_finetune():
+    # the reference trains context_mask_model via the `contexts` loss even
+    # though its eval path never reads it — migration must carry it over
+    rng = np.random.default_rng(7)
+    cfg = tiny_cfg()
+    cfg.use_differentiable_mask = True
+    params = init_params(cfg, seed=0)
+    sd = ref_bridge.transplant(jax.device_get(params), cfg)
+    assert "context_mask" in params
+    cm = params["context_mask"]["params"]
+    for i in (1, 2, 3):
+        k = np.asarray(cm[f"layer_{i}"]["kernel"])
+        sd[f"context_mask_model.layer_{i}.weight"] = __import__("torch").from_numpy(
+            rng.normal(size=k.T.shape).astype(np.float32))
+        sd[f"context_mask_model.layer_{i}.bias"] = __import__("torch").from_numpy(
+            rng.normal(size=k.shape[1]).astype(np.float32))
+
+    imported, leftover = ref_bridge.import_reference_state_dict(sd, params, cfg)
+    assert leftover == []
+    got = imported["context_mask"]["params"]
+    for i in (1, 2, 3):
+        np.testing.assert_array_equal(
+            got[f"layer_{i}"]["kernel"],
+            sd[f"context_mask_model.layer_{i}.weight"].numpy().T)
+        np.testing.assert_array_equal(
+            got[f"layer_{i}"]["bias"],
+            sd[f"context_mask_model.layer_{i}.bias"].numpy())
+
+
 @pytest.mark.slow
 def test_reference_checkpoint_loads(tmp_path):
     torch = pytest.importorskip("torch")

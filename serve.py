@@ -127,10 +127,21 @@ class DVCServer:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._dispatch(batch)
+                    self._dispatch_safe(batch)
                     return
                 batch.append(nxt)
+            self._dispatch_safe(batch)
+
+    def _dispatch_safe(self, batch):
+        """A dispatch failure must fail that batch's futures, not silently
+        kill the worker thread and strand every later request's Future."""
+        try:
             self._dispatch(batch)
+        except Exception as e:  # noqa: BLE001 — propagate to the waiters
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
+            for _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
 
     def _dispatch(self, batch):
         import jax

@@ -139,3 +139,25 @@ def test_server_matches_direct(world):
             np.testing.assert_allclose(ev["segment"], seg[i, j], rtol=1e-5,
                                        atol=1e-5)
             assert ev["caption"] == want[j]
+
+
+def test_dispatch_error_fails_future_not_server(world):
+    cfg, vocab, model, params = world
+    from serve import DVCServer
+
+    rng = np.random.default_rng(2)
+    server = DVCServer(model, params, vocab, cfg, batch_size=4, max_wait_ms=5.0)
+    try:
+        # wrong feature dim -> ingest/copy raises inside _dispatch; the
+        # future must carry the exception instead of hanging forever
+        bad = server.submit(rng.normal(size=(10, 7)).astype(np.float32), 5.0)
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        assert server.stats.get("errors", 0) == 1
+        # and the worker thread must survive to serve the next request
+        good = server.submit(
+            rng.normal(size=(16, 32)).astype(np.float32), 9.0)
+        events = good.result(timeout=120)
+        assert len(events) >= 1 and all("caption" in e for e in events)
+    finally:
+        server.close()

@@ -230,6 +230,13 @@ def transplant(params, cfg) -> Dict:
         _dense(sd, f"{base}.mlp.fully_connected_1", lp["mlp"]["fully_connected_1"])
         _dense(sd, f"{base}.mlp.fully_connected_2", lp["mlp"]["fully_connected_2"])
     _dense(sd, "unimodal_caption_decoder.head", cp["head"])
+
+    # symmetric with the importer: a context mask trained here (contexts loss)
+    # must survive the trip back to the reference
+    if "context_mask" in params:
+        cm = params["context_mask"]["params"]
+        for i in (1, 2, 3):
+            _dense(sd, f"context_mask_model.layer_{i}", cm[f"layer_{i}"])
     return sd
 
 
@@ -264,9 +271,6 @@ class _SDReader:
     def __call__(self, key):
         self.used.add(key)
         return self.sd[key]
-
-    def __contains__(self, key):
-        return key in self.sd
 
 
 def _inv_dense(r, torch_name, p):
@@ -315,8 +319,18 @@ def import_reference_state_dict(state_dict, params, cfg):
     import copy
 
     import flax
+    import jax
 
-    params = flax.core.unfreeze(copy.deepcopy(flax.core.unfreeze(params)))
+    # str, not tuple: tuples are pytree nodes and would flatten misaligned
+    template_shapes = jax.tree_util.tree_map(lambda x: str(tuple(x.shape)), params)
+    params = copy.deepcopy(flax.core.unfreeze(params))
+    if not (isinstance(params, dict) and "proposal" in params and "caption" in params):
+        raise ValueError(
+            "reference-checkpoint import supports the flagship UnimodalSparseDVC "
+            "family only (the other reference families cannot produce "
+            "checkpoints — their forwards are unrunnable upstream, MIGRATION.md); "
+            f"got a params tree with top-level keys {sorted(params)}"
+        )
     det = cfg.dvc.detr
     r = _SDReader(state_dict)
 
@@ -404,6 +418,24 @@ def import_reference_state_dict(state_dict, params, cfg):
         _inv_dense(r, f"{base}.mlp.fully_connected_2", lp["mlp"]["fully_connected_2"])
     _inv_dense(r, "unimodal_caption_decoder.head", cp["head"])
 
+    # a checkpoint from a mismatched config (different d_model / layers /
+    # vocab) must fail HERE with the offending leaf named, not as a cryptic
+    # XLA shape error at first forward — and never silently (a same-rank
+    # wrong-size embedding would otherwise garble every caption)
+    shape_str = lambda t: jax.tree_util.tree_map(lambda x: str(tuple(x.shape)), t)
+    old_leaves = jax.tree_util.tree_flatten_with_path(template_shapes)[0]
+    new_leaves = jax.tree_util.tree_flatten_with_path(shape_str(params))[0]
+    bad = [
+        (jax.tree_util.keystr(kp), old, new)
+        for (kp, old), (_, new) in zip(old_leaves, new_leaves)
+        if old != new
+    ]
+    if bad:
+        raise ValueError(
+            "reference checkpoint does not match this model's config "
+            "(leaf, expected shape, checkpoint shape): " + repr(bad[:5])
+        )
+
     leftover = sorted(
         k for k in state_dict
         if k not in r.used and not k.startswith(_UNUSED_PREFIXES)
@@ -417,7 +449,20 @@ def load_reference_checkpoint(path, params, cfg):
     params. Returns (params, leftover_keys)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: no arbitrary pickle execution from a shared .pth
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # reference checkpoints carry non-tensor extras (ConfigDict, optimizer
+        # state, main.py:129-134) that weights_only rejects; falling back runs
+        # the unpickler, so only do this for checkpoints you trust
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights_only load failed; falling back to full pickle "
+            "load — only do this for checkpoints from a trusted source"
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return import_reference_state_dict(sd, params, cfg)
 
@@ -431,6 +476,9 @@ def load_into_reference(ref_model, state_dict) -> None:
         allowed = allowed + ("segment_embedding_encoder", "count_head_encoder")
     missing, unexpected = ref_model.load_state_dict(state_dict, strict=False)
     used_missing = [m for m in missing if not m.startswith(allowed)]
+    # context_mask_model keys are emitted whenever our params carry them, but
+    # the torch model instantiates the module only with the mask flag on
+    unexpected = [u for u in unexpected if not u.startswith(_UNUSED_PREFIXES)]
     if unexpected:
         raise ValueError(f"unexpected keys in transplant: {unexpected[:5]}")
     if used_missing:

@@ -93,8 +93,15 @@ class DVCServer:
         {"segment": (start_s, end_s), "caption": str, "score": float}."""
         if self._closed:
             raise RuntimeError("server closed")
+        feats = np.asarray(features, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.feature_dim:
+            # reject malformed requests synchronously — once co-batched, a bad
+            # request's failure blast radius is the whole dispatch
+            raise ValueError(
+                f"features must be (T, {self.feature_dim}); got {feats.shape}"
+            )
         fut: Future = Future()
-        self._q.put((np.asarray(features, np.float32), float(duration), fut))
+        self._q.put((feats, float(duration), fut))
         return fut
 
     def close(self):
@@ -149,9 +156,18 @@ class DVCServer:
         B, T, D = self.batch_size, self.rescale_len, self.feature_dim
         video = np.zeros((B, T, D), np.float32)
         durations = np.ones((B,), np.float32)
-        for i, (feats, dur, _) in enumerate(batch):
-            video[i] = self._ingest(feats)
-            durations[i] = dur
+        # per-item ingest failures must not take down co-batched requests:
+        # fail that future, serve the rest on the zero-filled slot
+        failed = set()
+        for i, (feats, dur, fut) in enumerate(batch):
+            try:
+                video[i] = self._ingest(feats)
+                durations[i] = dur
+            except Exception as e:  # noqa: BLE001 — propagate to the waiter
+                failed.add(i)
+                self.stats["errors"] = self.stats.get("errors", 0) + 1
+                if not fut.done():
+                    fut.set_exception(e)
         mask = np.zeros((B, T), bool)  # every grid position is valid
         t0 = time.monotonic()
         out = self._step(self._params, video, mask, durations)
@@ -168,6 +184,8 @@ class DVCServer:
         self.stats["filled"] += len(batch)
         self.stats["step_s"] += time.monotonic() - t0
         for i, (_, _, fut) in enumerate(batch):
+            if i in failed:
+                continue
             k = int(ks[i])
             strings = _captions_to_strings(captions[i, :k], self.vocab)
             events = [

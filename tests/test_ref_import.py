@@ -83,16 +83,38 @@ def assert_trees_bit_identical(a, b):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
 
 
-@pytest.mark.parametrize("enc_aux", [False, True])
-def test_roundtrip_bit_identical(enc_aux):
+@pytest.mark.parametrize("enc_aux,diff_mask",
+                         [(False, False), (True, False), (False, True)])
+def test_roundtrip_bit_identical(enc_aux, diff_mask):
     cfg = tiny_cfg(use_enc_aux_loss=enc_aux)
+    cfg.use_differentiable_mask = diff_mask
     params = init_params(cfg, seed=0)
+    if diff_mask:
+        assert "context_mask" in params  # exercised below via the round-trip
     sd = ref_bridge.transplant(jax.device_get(params), cfg)
 
     template = init_params(cfg, seed=1)  # different values, same structure
     imported, leftover = ref_bridge.import_reference_state_dict(sd, template, cfg)
     assert leftover == []
     assert_trees_bit_identical(imported, params)
+
+
+def test_mismatched_checkpoint_rejected():
+    # a checkpoint from a different architecture config must fail loudly at
+    # import with the offending leaf named, not as an XLA error at forward
+    cfg = tiny_cfg()
+    sd = ref_bridge.transplant(jax.device_get(init_params(cfg, seed=0)), cfg)
+    cfg_small = tiny_cfg()
+    cfg_small.dvc.detr.transformer_ff_dim = 64
+    template = init_params(cfg_small, seed=1)
+    with pytest.raises(ValueError, match="does not match"):
+        ref_bridge.import_reference_state_dict(sd, template, cfg_small)
+
+
+def test_non_flagship_params_rejected():
+    cfg = tiny_cfg()
+    with pytest.raises(ValueError, match="UnimodalSparseDVC"):
+        ref_bridge.import_reference_state_dict({}, {"encoder": {}}, cfg)
 
 
 def test_context_mask_imports_for_finetune():

@@ -148,16 +148,27 @@ def test_dispatch_error_fails_future_not_server(world):
     rng = np.random.default_rng(2)
     server = DVCServer(model, params, vocab, cfg, batch_size=4, max_wait_ms=5.0)
     try:
-        # wrong feature dim -> ingest/copy raises inside _dispatch; the
-        # future must carry the exception instead of hanging forever
-        bad = server.submit(rng.normal(size=(10, 7)).astype(np.float32), 5.0)
-        with pytest.raises(Exception):
+        # malformed shape is rejected synchronously at submit (before it can
+        # poison a batch)
+        with pytest.raises(ValueError):
+            server.submit(rng.normal(size=(10, 7)).astype(np.float32), 5.0)
+
+        # an ingest failure fails ONLY its own future — co-batched requests
+        # still get results and the worker thread survives
+        real_ingest = server._ingest
+
+        def poisoned(feats):
+            if feats.shape[0] == 13:
+                raise RuntimeError("poisoned request")
+            return real_ingest(feats)
+
+        server._ingest = poisoned
+        bad = server.submit(rng.normal(size=(13, 32)).astype(np.float32), 5.0)
+        good = server.submit(rng.normal(size=(16, 32)).astype(np.float32), 9.0)
+        with pytest.raises(RuntimeError):
             bad.result(timeout=120)
-        assert server.stats.get("errors", 0) == 1
-        # and the worker thread must survive to serve the next request
-        good = server.submit(
-            rng.normal(size=(16, 32)).astype(np.float32), 9.0)
         events = good.result(timeout=120)
         assert len(events) >= 1 and all("caption" in e for e in events)
+        assert server.stats.get("errors", 0) == 1
     finally:
         server.close()

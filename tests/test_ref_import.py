@@ -147,6 +147,68 @@ def test_context_mask_imports_for_finetune():
 
 
 @pytest.mark.slow
+def test_migration_cli_end_to_end(tmp_path):
+    """inference.py --from-reference-checkpoint on the synthetic world: a
+    reference-format .pth generated from the actual torch model loads through
+    the CLI and a scored eval completes (the turnkey migration path)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    torch = pytest.importorskip("torch")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/mfl_jax_cache_tests"
+
+    tiny_overrides = [
+        "dvc.d_model=64", "dvc.num_queries=6",
+        "dvc.detr.feature_dim=64", "dvc.detr.d_model=64",
+        "dvc.detr.num_heads=2", "dvc.detr.enc_layers=2",
+        "dvc.detr.dec_layers=2", "dvc.detr.transformer_ff_dim=128",
+        "dvc.detr.video_rescale_len=24", "dvc.detr.num_feature_levels=3",
+        "dvc.caption.d_model=64", "dvc.caption.depth=2",
+        "dvc.caption.num_heads=2",
+        "dataset.activity_net.video_rescale_len=24",
+        "dataset.activity_net.max_caption_len_all=8",
+        "dataset.activity_net.max_gt_target_segments=4",
+    ]
+
+    # generate the reference-format .pth against the synthetic world's vocab
+    gen = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import torch\n"
+        "from main import apply_overrides, make_synthetic_world\n"
+        "from multimodal_feature_learning_tpu.config import load_config, recompute_losses\n"
+        "from multimodal_feature_learning_tpu.data.anet import build_dataset\n"
+        "from multimodal_feature_learning_tpu.utils import ref_bridge\n"
+        "cfg = load_config('train'); cfg = make_synthetic_world(cfg)\n"
+        "cfg = apply_overrides(cfg, %r); recompute_losses(cfg)\n"
+        "_, vocab = build_dataset('val', cfg)\n"
+        "class V(dict):\n"
+        "    def __init__(s, n):\n"
+        "        super().__init__({'<unk>': 0, '<pad>': 1, '<bos>': 2, '<eos>': 3}); s.n = n\n"
+        "    def __len__(s): return s.n\n"
+        "ref = ref_bridge.build_reference_model(cfg, V(len(vocab)))\n"
+        "torch.save({'model': ref.state_dict(), 'epoch': 0}, %r)\n"
+    ) % (repo, tiny_overrides, str(tmp_path / "ref.pth"))
+    r = subprocess.run([_sys.executable, "-c", gen], cwd=str(tmp_path), env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "inference.py"), "--synthetic",
+         "--from-reference-checkpoint", str(tmp_path / "ref.pth"),
+         "--batch-size", "8", "--config-overrides", *tiny_overrides],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "imported reference checkpoint" in r.stdout
+    assert "val stats:" in r.stdout
+
+
+@pytest.mark.slow
 def test_reference_checkpoint_loads(tmp_path):
     torch = pytest.importorskip("torch")
     cfg = tiny_cfg(use_enc_aux_loss=False)

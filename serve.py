@@ -39,7 +39,7 @@ class DVCServer:
 
     def __init__(self, model, params, vocab, cfg, batch_size: int = 16,
                  max_wait_ms: float = 10.0, faster_eval: bool = False,
-                 rank: str = "stability"):
+                 rank: str = "stability", max_queue: int = 0):
         import jax
 
         self.model = model
@@ -62,7 +62,9 @@ class DVCServer:
         self._params = jax.device_put(params)
         # serving telemetry: dispatch count, filled slots, step wall time
         self.stats = {"dispatches": 0, "filled": 0, "step_s": 0.0}
-        self._q: "queue.Queue" = queue.Queue()
+        # backpressure: with max_queue > 0 submits beyond the bound are shed
+        # immediately (RuntimeError) instead of accumulating unbounded latency
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = False
 
         # warmup compile at serving shapes — with the SAME device-resident
@@ -101,7 +103,13 @@ class DVCServer:
                 f"features must be (T, {self.feature_dim}); got {feats.shape}"
             )
         fut: Future = Future()
-        self._q.put((feats, float(duration), fut))
+        try:
+            self._q.put_nowait((feats, float(duration), fut))
+        except queue.Full:
+            self.stats["shed"] = self.stats.get("shed", 0) + 1
+            raise RuntimeError(
+                f"server overloaded: queue at max_queue={self._q.maxsize}"
+            ) from None
         return fut
 
     def close(self):
@@ -218,6 +226,8 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="shed submits beyond this queue depth (0 = unbounded)")
     p.add_argument("--rps", type=float, default=100.0,
                    help="Poisson arrival rate of the load generator")
     p.add_argument("--n-requests", type=int, default=256)
@@ -285,7 +295,8 @@ def main():
     server = DVCServer(model, params, vocab, cfg,
                        batch_size=args.batch_size,
                        max_wait_ms=args.max_wait_ms,
-                       faster_eval=args.faster_eval)
+                       faster_eval=args.faster_eval,
+                       max_queue=args.max_queue)
 
     # request stream: real val features through the dataset's own loader path
     reqs = []
@@ -301,16 +312,21 @@ def main():
     lock = threading.Lock()
     t_start = time.monotonic()
     pending = []
+    shed = 0
     for feats, dur in reqs:
         t0 = time.monotonic()
-        fut = server.submit(feats, dur)
+        try:
+            fut = server.submit(feats, dur)
+        except RuntimeError:
+            shed += 1  # backpressure (--max-queue): request rejected, move on
+        else:
 
-        def _cb(f, t0=t0):
-            with lock:
-                done.append(time.monotonic() - t0)
+            def _cb(f, t0=t0):
+                with lock:
+                    done.append(time.monotonic() - t0)
 
-        fut.add_done_callback(_cb)
-        pending.append(fut)
+            fut.add_done_callback(_cb)
+            pending.append(fut)
         time.sleep(float(rng.exponential(1.0 / args.rps)))
     for fut in pending:
         fut.result()
@@ -330,6 +346,7 @@ def main():
         "batch_size": args.batch_size,
         "max_wait_ms": args.max_wait_ms,
         "backend": jax.default_backend(),
+        "shed": shed,
         "dispatches": stats["dispatches"],
         "mean_batch_fill": round(stats["filled"] / max(stats["dispatches"], 1), 2),
         "mean_step_ms": round(1000 * stats["step_s"] / max(stats["dispatches"], 1), 2),

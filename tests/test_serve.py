@@ -141,6 +141,38 @@ def test_server_matches_direct(world):
             assert ev["caption"] == want[j]
 
 
+def test_backpressure_sheds_beyond_max_queue(world):
+    cfg, vocab, model, params = world
+    import threading
+    import time as _time
+
+    from serve import DVCServer
+
+    rng = np.random.default_rng(3)
+    server = DVCServer(model, params, vocab, cfg, batch_size=1,
+                       max_wait_ms=1.0, max_queue=2)
+    gate = threading.Event()
+    orig = server._dispatch_safe
+    server._dispatch_safe = lambda batch: (gate.wait(), orig(batch))
+    try:
+        feats = rng.normal(size=(16, 32)).astype(np.float32)
+        first = server.submit(feats, 5.0)
+        # wait until the worker has taken it (queue empty, worker blocked)
+        deadline = _time.monotonic() + 30
+        while server._q.qsize() > 0 and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        queued = [server.submit(feats, 5.0) for _ in range(2)]  # fills bound
+        with pytest.raises(RuntimeError, match="overloaded"):
+            server.submit(feats, 5.0)
+        assert server.stats.get("shed", 0) == 1
+        gate.set()
+        for f in [first] + queued:  # shed request never entered the queue
+            assert len(f.result(timeout=120)) >= 1
+    finally:
+        gate.set()
+        server.close()
+
+
 def test_dispatch_error_fails_future_not_server(world):
     cfg, vocab, model, params = world
     from serve import DVCServer

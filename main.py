@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--from-reference-checkpoint", default=None,
                    help="migrate a reference-trained .pth (main.py:129-134 "
                         "format) into the flagship UnimodalSparseDVC params")
+    p.add_argument("--trust-checkpoint", action="store_true",
+                   help="allow the full pickle loader for reference "
+                        ".pth files that weights_only rejects "
+                        "(executes code embedded in the file)")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic features/annotations smoke run (no data needed)")
     p.add_argument("--config-overrides", nargs="*", default=[],
@@ -215,7 +219,8 @@ def main():
         )
 
         params, leftover = load_reference_checkpoint(
-            args.from_reference_checkpoint, jax.device_get(params), cfg
+            args.from_reference_checkpoint, jax.device_get(params), cfg,
+            trust_pickle=args.trust_checkpoint,
         )
         print(f"imported reference checkpoint {args.from_reference_checkpoint} "
               f"({len(leftover)} reference-only keys skipped)")

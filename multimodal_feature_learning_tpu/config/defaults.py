@@ -56,6 +56,16 @@ def load_config_train() -> ml_collections.ConfigDict:
 
     # numerics: bf16 compute with f32 params/activations where it matters
     cfg.compute_dtype = "float32"
+    # greedy-decode backend for eval/serve: "xla" (lax.scan of XLA kernels)
+    # or "fused" (one Pallas decode-step kernel per token running all
+    # caption-decoder layers; ops/fused_decode.py — exact-token parity
+    # pinned by tests/test_fused_decode.py). "fused" requires the grouped
+    # shared-KV memory layout, i.e. the unimodal feature families.
+    cfg.decode_impl = "xla"
+    # cross-attn memory K/V precision for the FUSED decode: "dense" keeps the
+    # compute dtype; "int8" quantizes per token (halves the dominant decode
+    # HBM stream; flag-gated — greedy tokens may differ at ties)
+    cfg.decode_kv = "dense"
     # host->device batch transfer dtype for TRAINING: "bfloat16" halves the
     # bytes pushed over the host->device link per step (float arrays only;
     # the train step upcasts at entry, so only the f32->bf16 input rounding

@@ -16,17 +16,22 @@ pure Python:
     scores also returned.
 
 Known deviations from the Java jar (documented, data-blocked in this image):
-  * the WordNet synonymy stage (w=0.8) is implemented but DATA-GATED: it
-    activates only when a synset table is supplied (``Meteor(synonym_file=)``
-    or the ``MFL_METEOR_SYNONYMS`` env var — one synset per line,
-    space-separated lowercase surface forms, as extractable from a WordNet
-    db). Without the file, and always for the paraphrase-table stage (w=0.6,
-    needs paraphrase-en.gz), scores are a LOWER bound on jar METEOR for hyps
-    that only match via synonyms/paraphrases.
+  * the WordNet synonymy stage (w=0.8) and the paraphrase stage (w=0.6) are
+    both implemented but DATA-GATED: synonymy activates when a synset table
+    is supplied (``Meteor(synonym_file=)`` / ``MFL_METEOR_SYNONYMS`` — one
+    synset per line, space-separated lowercase surface forms, as extractable
+    from a WordNet db); paraphrase activates when a paraphrase table is
+    supplied (``Meteor(paraphrase_file=)`` / ``MFL_METEOR_PARAPHRASES`` —
+    the jar's paraphrase-en.gz dump, ``phrase ||| phrase`` per line, plain
+    or gzip). Without the files, scores are a LOWER bound on jar METEOR for
+    hyps that only match via synonyms/paraphrases (bound quantified by
+    tools/meteor_gap_bound.py).
   * the function-word list is a standard English closed-class list, not the
     jar's corpus-derived function.words file.
   * alignment is a chunk-minimizing greedy heuristic, not the jar's beam
-    search (identical on typical short captions).
+    search (identical on typical short captions); paraphrase spans are only
+    placed over words the word stages left unmatched, whereas the beam can
+    trade word matches for covering phrases.
 
 The evaluator accepts any scorer object with this interface, so the
 Java-backed scorer can be swapped in for bit-exact comparisons where a JVM
@@ -207,10 +212,12 @@ ALPHA = 0.85   # P/R balance in Fmean
 BETA = 0.2     # fragmentation exponent
 GAMMA = 0.6    # fragmentation weight
 DELTA = 0.75   # content-vs-function word weight
-# stage order/weights per the jar's English default "exact stem synonym":
-# the synonym stage participates only when a synset table is loaded
-# (paraphrase 0.6 absent — needs paraphrase-en.gz)
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)
+# stage order/weights per the jar's English default
+# "exact stem synonym paraphrase"; the synonym stage participates only when
+# a synset table is loaded and the paraphrase stage only when a paraphrase
+# table is loaded (paraphrase-en.gz dump) — both data-gated, zero code gap
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)
+PARAPHRASE_STAGE = 3
 
 
 def load_synonym_table(path: str) -> Dict[str, frozenset]:
@@ -228,9 +235,49 @@ def load_synonym_table(path: str) -> Dict[str, frozenset]:
     return {w: frozenset(s) for w, s in table.items()}
 
 
-def _align(hyp: List[str], ref: List[str], synsets: Optional[Dict] = None):
-    """Stage-priority one-to-one alignment. Returns a list of
-    (hyp_idx, ref_idx, stage) triples sorted by hyp_idx.
+def load_paraphrase_table(path: str) -> Dict[str, frozenset]:
+    """Parse a METEOR paraphrase table (the plain-text dump of
+    paraphrase-en.gz: one pair per line, phrases separated by `|||`,
+    optionally with a leading probability field) into a
+    phrase -> {pair ids} map. Two phrases "paraphrase-match" iff they share
+    a pair id — pair membership exactly, no transitive closure, mirroring
+    the jar's table lookup."""
+    import gzip
+
+    table: Dict[str, set] = {}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        pid = 0
+        for line in f:
+            parts = [p.strip().lower() for p in line.split("|||")]
+            if len(parts) == 3:
+                parts = parts[1:]  # leading probability field
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                continue
+            if parts[0] == parts[1]:
+                continue
+            for ph in parts:
+                table.setdefault(ph, set()).add(pid)
+            pid += 1
+    return {p: frozenset(s) for p, s in table.items()}
+
+
+def _max_phrase_len(paraphrases: Optional[Dict]) -> int:
+    if not paraphrases:
+        return 1
+    return max(p.count(" ") + 1 for p in paraphrases)
+
+
+def _align(
+    hyp: List[str],
+    ref: List[str],
+    synsets: Optional[Dict] = None,
+    paraphrases: Optional[Dict] = None,
+):
+    """Stage-priority one-to-one alignment. Returns a list of match BLOCKS
+    (hyp_start, hyp_len, ref_start, ref_len, stage) sorted by hyp_start;
+    the word stages (exact/stem/synonym) emit length-1 blocks and the
+    paraphrase stage emits phrase spans.
 
     Chunk-minimizing greedy heuristic: candidates that continue the previous
     (hyp_i-1 -> ref_j-1) adjacency are preferred, then the candidate closest
@@ -246,10 +293,10 @@ def _align(hyp: List[str], ref: List[str], synsets: Optional[Dict] = None):
         sh = synsets.get(hyp[i])
         return bool(sh) and bool(sh & synsets.get(ref[j], frozenset()))
 
-    n_stages = 3 if synsets else 2
+    word_stages = (0, 1, 2) if synsets else (0, 1)
     used_ref = [False] * len(ref)
     match_of_hyp: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
-    for stage in range(n_stages):
+    for stage in word_stages:
         prev_j = -2
         for i in range(len(hyp)):
             if match_of_hyp[i] is not None:
@@ -266,47 +313,110 @@ def _align(hyp: List[str], ref: List[str], synsets: Optional[Dict] = None):
             match_of_hyp[i] = (j, stage)
             used_ref[j] = True
             prev_j = j
-    return [
-        (i, m[0], m[1]) for i, m in enumerate(match_of_hyp) if m is not None
+
+    blocks = [
+        (i, 1, m[0], 1, m[1])
+        for i, m in enumerate(match_of_hyp)
+        if m is not None
     ]
 
+    if paraphrases:
+        # paraphrase stage (w=0.6): unmatched hyp spans vs unmatched ref
+        # spans whose surface phrases share a table pair id. Greedy longest-
+        # first over the hyp, ref span chosen nearest the continuation point.
+        used_hyp = [m is not None for m in match_of_hyp]
+        max_len = _max_phrase_len(paraphrases)
 
-def _count_chunks(pairs) -> int:
-    """Contiguous-in-both runs over matches sorted by hyp index."""
-    if not pairs:
+        def free(used, a, ln):
+            return not any(used[a: a + ln])
+
+        prev_end = 0
+        i = 0
+        while i < len(hyp):
+            if used_hyp[i]:
+                i += 1
+                continue
+            placed = False
+            for lh in range(min(max_len, len(hyp) - i), 0, -1):
+                if not free(used_hyp, i, lh):
+                    continue
+                ids = paraphrases.get(" ".join(hyp[i: i + lh]))
+                if not ids:
+                    continue
+                cands = []
+                for lr in range(min(max_len, len(ref)), 0, -1):
+                    for j in range(len(ref) - lr + 1):
+                        if not free(used_ref, j, lr):
+                            continue
+                        if (i, lh) == (j, lr) and hyp[i: i + lh] == ref[j: j + lr]:
+                            continue  # identical spans are word-stage territory
+                        rids = paraphrases.get(" ".join(ref[j: j + lr]))
+                        if rids and (ids & rids):
+                            cands.append((j, lr))
+                if cands:
+                    j, lr = min(cands, key=lambda c: (abs(c[0] - prev_end), -c[1], c[0]))
+                    blocks.append((i, lh, j, lr, PARAPHRASE_STAGE))
+                    for t in range(lh):
+                        used_hyp[i + t] = True
+                    for t in range(lr):
+                        used_ref[j + t] = True
+                    prev_end = j + lr
+                    i += lh
+                    placed = True
+                    break
+            if not placed:
+                i += 1
+        blocks.sort(key=lambda b: b[0])
+    return blocks
+
+
+def _count_chunks(blocks) -> int:
+    """Contiguous-in-both runs over match blocks sorted by hyp start; a
+    span match extends the current chunk when it starts exactly where the
+    previous block ended on both sides."""
+    if not blocks:
         return 0
     chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(pairs, pairs[1:]):
-        if h1 != h0 + 1 or r1 != r0 + 1:
+    for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(blocks, blocks[1:]):
+        if h1 != h0 + hl0 or r1 != r0 + rl0:
             chunks += 1
     return chunks
 
 
 def _segment_stats(
-    hyp_line: str, ref_line: str, synsets: Optional[Dict] = None
+    hyp_line: str,
+    ref_line: str,
+    synsets: Optional[Dict] = None,
+    paraphrases: Optional[Dict] = None,
 ) -> Dict[str, float]:
     """METEOR 1.5 sufficient statistics for one (hyp, ref) pair."""
     hyp, ref = hyp_line.split(), ref_line.split()
-    pairs = _align(hyp, ref, synsets)
+    blocks = _align(hyp, ref, synsets, paraphrases)
 
     def weighted_len(words):
         c = sum(1 for w in words if w not in FUNCTION_WORDS)
         return DELTA * c + (1.0 - DELTA) * (len(words) - c)
 
-    w_match_h = w_match_r = 0.0
-    for i, j, stage in pairs:
-        wh = DELTA if hyp[i] not in FUNCTION_WORDS else 1.0 - DELTA
-        wr = DELTA if ref[j] not in FUNCTION_WORDS else 1.0 - DELTA
-        w_match_h += STAGE_WEIGHTS[stage] * wh
-        w_match_r += STAGE_WEIGHTS[stage] * wr
+    w_match_h = w_match_r = matches = 0.0
+    for i, lh, j, lr, stage in blocks:
+        sw = STAGE_WEIGHTS[stage]
+        for t in range(lh):
+            wh = DELTA if hyp[i + t] not in FUNCTION_WORDS else 1.0 - DELTA
+            w_match_h += sw * wh
+        for t in range(lr):
+            wr = DELTA if ref[j + t] not in FUNCTION_WORDS else 1.0 - DELTA
+            w_match_r += sw * wr
+        # the jar counts the average of the two span lengths toward the
+        # match total used by the fragmentation penalty
+        matches += (lh + lr) / 2.0
 
     return {
         "w_match_h": w_match_h,
         "w_match_r": w_match_r,
         "w_len_h": weighted_len(hyp),
         "w_len_r": weighted_len(ref),
-        "matches": float(len(pairs)),
-        "chunks": float(_count_chunks(pairs)),
+        "matches": matches,
+        "chunks": float(_count_chunks(blocks)),
     }
 
 
@@ -324,40 +434,68 @@ def _score_from_stats(s: Dict[str, float]) -> float:
 
 
 def meteor_score(
-    hyp_line: str, ref_line: str, synsets: Optional[Dict] = None
+    hyp_line: str,
+    ref_line: str,
+    synsets: Optional[Dict] = None,
+    paraphrases: Optional[Dict] = None,
 ) -> float:
     """Single-pair METEOR 1.5 score."""
-    return _score_from_stats(_segment_stats(hyp_line, ref_line, synsets))
+    return _score_from_stats(
+        _segment_stats(hyp_line, ref_line, synsets, paraphrases)
+    )
+
+
+def _load_gated_table(explicit_path, env_var, loader, stage_name):
+    """Shared data-gating logic for the synonymy/paraphrase stages: an
+    explicitly requested table must exist (no silent metric degradation); an
+    env-var table warns and degrades if absent."""
+    import os
+    import warnings
+
+    env_file = os.environ.get(env_var)
+    if explicit_path:
+        if not os.path.exists(explicit_path):
+            raise FileNotFoundError(
+                f"METEOR {stage_name} table not found: {explicit_path}"
+            )
+        return loader(explicit_path)
+    if env_file:
+        if os.path.exists(env_file):
+            return loader(env_file)
+        warnings.warn(
+            f"{env_var}={env_file} does not exist; scoring WITHOUT the "
+            f"{stage_name} stage"
+        )
+    return None
 
 
 class Meteor:
-    def __init__(self, synonym_file: Optional[str] = None, synsets=None):
+    def __init__(
+        self,
+        synonym_file: Optional[str] = None,
+        synsets=None,
+        paraphrase_file: Optional[str] = None,
+        paraphrases=None,
+    ):
         """synonym_file: synset table path enabling the WordNet synonymy
-        stage (see load_synonym_table); defaults to $MFL_METEOR_SYNONYMS so a
-        WordNet dump drops in without code changes. synsets: pre-built
-        word->synset-ids map (takes precedence; mainly for tests)."""
-        import os
-        import warnings
-
+        stage (see load_synonym_table); defaults to $MFL_METEOR_SYNONYMS.
+        paraphrase_file: paraphrase table path (plain or .gz dump of the
+        jar's paraphrase-en.gz) enabling the paraphrase stage; defaults to
+        $MFL_METEOR_PARAPHRASES. Either data file drops in without code
+        changes. synsets / paraphrases: pre-built maps (take precedence;
+        mainly for tests)."""
         if synsets is None:
-            env_file = os.environ.get("MFL_METEOR_SYNONYMS")
-            if synonym_file:
-                # explicitly requested: a missing table must not silently
-                # degrade the metric to the 2-stage lower bound
-                if not os.path.exists(synonym_file):
-                    raise FileNotFoundError(
-                        f"METEOR synonym table not found: {synonym_file}"
-                    )
-                synsets = load_synonym_table(synonym_file)
-            elif env_file:
-                if os.path.exists(env_file):
-                    synsets = load_synonym_table(env_file)
-                else:
-                    warnings.warn(
-                        f"MFL_METEOR_SYNONYMS={env_file} does not exist; "
-                        "scoring WITHOUT the synonymy stage (exact+stem only)"
-                    )
+            synsets = _load_gated_table(
+                synonym_file, "MFL_METEOR_SYNONYMS",
+                load_synonym_table, "synonym",
+            )
+        if paraphrases is None:
+            paraphrases = _load_gated_table(
+                paraphrase_file, "MFL_METEOR_PARAPHRASES",
+                load_paraphrase_table, "paraphrase",
+            )
         self.synsets = synsets
+        self.paraphrases = paraphrases
 
     def method(self):
         return "METEOR"
@@ -373,7 +511,7 @@ class Meteor:
             hyp = res[k][0]
             best_stats, best = None, -1.0
             for ref in gts[k]:
-                stats = _segment_stats(hyp, ref, self.synsets)
+                stats = _segment_stats(hyp, ref, self.synsets, self.paraphrases)
                 score = _score_from_stats(stats)
                 if score > best:
                     best, best_stats = score, stats

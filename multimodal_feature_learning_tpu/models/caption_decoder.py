@@ -206,6 +206,9 @@ def greedy_decode(
     kv_dtype=None,
     groups: int = 1,
     zeroed_mask=None,
+    decode_impl: str = "xla",     # "xla" | "fused" (Pallas decode-step kernel)
+    kv_mode: str = "dense",       # "dense" | "int8" (fused path only)
+    fused_interpret: bool = False,
 ):
     """KV-cached greedy decode; semantics of the reference eval loop
     (unimodal_sparse_dvc.py:303-355): argmax per step; with
@@ -221,6 +224,16 @@ def greedy_decode(
     cross-attn K/V are then read once per video per step instead of once per
     event — ~groups× less HBM traffic on the decode's dominant stream.
     """
+    if decode_impl == "fused":
+        if groups <= 1:
+            raise ValueError("fused decode requires the grouped shared-KV path")
+        return _greedy_decode_fused(
+            module, params, memory, memory_padding_mask, seq_len,
+            bos_idx, eos_idx, pad_idx, faster_eval=faster_eval,
+            groups=groups, zeroed_mask=zeroed_mask, kv_mode=kv_mode,
+            kv_dtype=kv_dtype, interpret=fused_interpret,
+        )
+
     N = memory.shape[0] * groups
     S, D = memory.shape[1], memory.shape[2]
     depth = module.depth
@@ -259,6 +272,130 @@ def greedy_decode(
         # "if total_caption_done == total_caption_num: break"
         # (unimodal_sparse_dvc.py:345-346); token-identical because frozen
         # captions only ever append <pad>. faster_eval fills every position.
+        t, captions, done, *_ = carry
+        if faster_eval:
+            return t < seq_len
+        return (t < seq_len) & ~jnp.all(done)
+
+    _, captions, done, _, _ = jax.lax.while_loop(
+        step_cond, step_body,
+        (jnp.int32(1), captions, done, k_caches, v_caches),
+    )
+
+    if faster_eval:
+        last = jnp.full((N,), eos_idx, dtype=jnp.int32)
+    else:
+        has_eos = jnp.any(captions == eos_idx, axis=1)
+        last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
+    return jnp.concatenate([captions, last[:, None]], axis=1)
+
+
+def _greedy_decode_fused(
+    module: UnimodalCaptionDecoder,
+    params,
+    memory: jnp.ndarray,          # (B, S, D) shared per-video memory
+    memory_padding_mask,          # (N, S) True=pad (per event)
+    seq_len: int,
+    bos_idx: int,
+    eos_idx: int,
+    pad_idx: int,
+    faster_eval: bool = False,
+    groups: int = 1,
+    zeroed_mask=None,
+    kv_mode: str = "dense",
+    kv_dtype=None,
+    interpret: bool = False,
+):
+    """Greedy decode through the fused Pallas decode-step kernel.
+
+    Same loop semantics (argmax, per-caption <eos> freeze, early-exit
+    while_loop, tail token) as `greedy_decode`; each step runs all decoder
+    layers in ONE `pallas_call` (ops/fused_decode.py) instead of ~40 XLA
+    kernels, streaming the cross-attn K/V once per (layer, video) with the
+    attention probabilities never leaving VMEM.  `kv_mode='int8'` also
+    quantizes the cross-attn K/V per token (flag-gated; VERDICT r3 item 2).
+    """
+    from ..ops.fused_decode import (
+        extract_decoder_weights, fused_decode_step, quantize_kv_int8,
+        stack_memory_kv,
+    )
+
+    B, S, D = memory.shape
+    G = groups
+    N = B * G
+    R = 2 * G
+    Tc = seq_len
+    depth = module.depth
+    ct = memory.dtype
+    Sp = ((S + 127) // 128) * 128
+
+    weights = extract_decoder_weights(params)
+    mem_k, mem_v = stack_memory_kv(weights, memory, Sp)
+    if kv_dtype is not None:
+        mem_k, mem_v = mem_k.astype(kv_dtype), mem_v.astype(kv_dtype)
+    k_scales = v_scales = None
+    if kv_mode == "int8":
+        mem_k, k_scales = quantize_kv_int8(mem_k)
+        mem_v, v_scales = quantize_kv_int8(mem_v)
+
+    # masks, t-major rows (row r of a video = event r % G), S padded blocked
+    pad = memory_padding_mask.reshape(B, G, S)
+    has_bias = zeroed_mask is not None
+    if has_bias:
+        zer = zeroed_mask.reshape(B, G, S)
+        shared_block = pad | zer
+        m = jnp.sum(~pad & zer, axis=2).astype(jnp.float32)  # (B, G)
+        log_m = jnp.where(m > 0, jnp.log(jnp.maximum(m, 1.0)), -1e20)
+    else:
+        shared_block = pad
+        log_m = jnp.zeros((B, G), jnp.float32)
+    mask_i8 = jnp.pad(
+        shared_block, ((0, 0), (0, 0), (0, Sp - S)), constant_values=True
+    ).astype(jnp.int8)
+    mask_i8 = jnp.tile(mask_i8, (1, 2, 1))          # (B, R, Sp)
+    log_m = jnp.tile(log_m, (1, 2))[..., None]       # (B, R, 1)
+
+    head_k = params["params"]["head"]["kernel"]
+    head_b = params["params"]["head"]["bias"]
+
+    captions = jnp.full((N, seq_len), pad_idx, dtype=jnp.int32)
+    captions = captions.at[:, 0].set(bos_idx)
+    done = jnp.zeros((N,), dtype=bool)
+    k_caches = jnp.zeros((depth, B, Tc * G, D), dtype=ct)
+    v_caches = jnp.zeros((depth, B, Tc * G, D), dtype=ct)
+    pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
+
+    def step_body(carry):
+        t, captions, done, k_caches, v_caches = carry
+        prev_tok = jnp.take_along_axis(
+            captions, (t - 1)[None, None].repeat(N, 0), axis=1
+        )[:, 0]
+        x_prev = module.apply(
+            params, prev_tok, t - 1, method=UnimodalCaptionDecoder.embed_at
+        )  # (N, 1, D)
+        x_next = module.apply(
+            params, pad_tok, t, method=UnimodalCaptionDecoder.embed_at
+        )
+        x = jnp.concatenate(
+            [x_prev[:, 0].reshape(B, G, D), x_next[:, 0].reshape(B, G, D)],
+            axis=1,
+        )  # (B, R, D) t-major rows
+        x_out, k_caches, v_caches = fused_decode_step(
+            x, k_caches, v_caches, t - 1, t,
+            mem_k, mem_v, k_scales, v_scales, mask_i8, log_m, weights,
+            G=G, num_heads=module.num_heads, has_bias_col=has_bias,
+            interpret=interpret,
+        )
+        x_pred = x_out[:, G:, :].reshape(N, D)  # predict rows, event-major
+        logits = (x_pred @ head_k + head_b).astype(jnp.float32)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if not faster_eval:
+            tok = jnp.where(done, pad_idx, tok)
+        captions = captions.at[:, t].set(tok)
+        done = done | (tok == eos_idx)
+        return (t + 1, captions, done, k_caches, v_caches)
+
+    def step_cond(carry):
         t, captions, done, *_ = carry
         if faster_eval:
             return t < seq_len

@@ -304,6 +304,9 @@ class UnimodalDVC:
         # run bf16 on the MXU, while matcher/criterion inputs are cast back to
         # f32 at the module boundary (utils/precision.py docstring)
         self.compute_dtype = resolve_dtype(cfg.compute_dtype)
+        # greedy-decode backend + fused-path K/V precision (config docstring)
+        self.decode_impl = str(getattr(cfg, "decode_impl", "xla"))
+        self.decode_kv = str(getattr(cfg, "decode_kv", "dense"))
 
         self.temporal_shapes = pyramid_shapes(
             det.video_rescale_len, det.num_feature_levels
@@ -558,6 +561,7 @@ class UnimodalDVC:
                     self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
                     faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
                     zeroed_mask=zeroed,
+                    decode_impl=self.decode_impl, kv_mode=self.decode_kv,
                 )
             if val_mode == "serve":
                 # pure inference: skip the loss-only teacher-forced pass and
@@ -644,9 +648,15 @@ class UnimodalDVC:
             scores = 1.0 - out["pred_logits"][..., -1]  # (B, Q) foreground
         else:
             seg_all = out["outputs_segment_all"]  # (layers, B, Q, 2)
-            scores = -jnp.mean(
-                jnp.abs(seg_all[1:] - seg_all[:-1]), axis=(0, 3)
-            )  # (B, Q)
+            if seg_all.shape[0] < 2:
+                # a single decoder layer has no refinement drift to rank by:
+                # jnp.mean over the empty diff axis would yield NaN scores
+                # and an arbitrary top_k; fall back to uniform scores
+                scores = jnp.zeros(seg_all.shape[1:3], seg_all.dtype)
+            else:
+                scores = -jnp.mean(
+                    jnp.abs(seg_all[1:] - seg_all[:-1]), axis=(0, 3)
+                )  # (B, Q)
         top_scores, indices = jax.lax.top_k(scores, G)  # (B, G) each
 
         k = jnp.argmax(out["pred_count"], axis=-1)  # (B,)
@@ -666,6 +676,7 @@ class UnimodalDVC:
             self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
             faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
             zeroed_mask=zeroed,
+            decode_impl=self.decode_impl, kv_mode=self.decode_kv,
         )  # (B*G, Lc+1)
         B = indices.shape[0]
         rows = jnp.arange(B)[:, None]

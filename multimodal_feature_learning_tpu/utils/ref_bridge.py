@@ -443,25 +443,30 @@ def import_reference_state_dict(state_dict, params, cfg):
     return params, leftover
 
 
-def load_reference_checkpoint(path, params, cfg):
+def load_reference_checkpoint(path, params, cfg, trust_pickle: bool = False):
     """Load a reference ``torch.save``d checkpoint file (main.py:129-134
     format, ``{'model': state_dict, ...}``, or a bare state_dict) into our
-    params. Returns (params, leftover_keys)."""
+    params. Returns (params, leftover_keys).
+
+    Safe by default: tensors are read with ``weights_only=True`` (no pickle
+    code execution). Reference checkpoints carry non-tensor extras
+    (ConfigDict, optimizer state) that weights_only rejects; loading those
+    requires the full unpickler, which executes arbitrary code from the file
+    — pass ``trust_pickle=True`` (CLI: ``--trust-checkpoint``) only for
+    checkpoints from a trusted source."""
     import torch
 
     try:
         # safe path first: no arbitrary pickle execution from a shared .pth
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # reference checkpoints carry non-tensor extras (ConfigDict, optimizer
-        # state, main.py:129-134) that weights_only rejects; falling back runs
-        # the unpickler, so only do this for checkpoints you trust
-        import warnings
-
-        warnings.warn(
-            f"{path}: weights_only load failed; falling back to full pickle "
-            "load — only do this for checkpoints from a trusted source"
-        )
+    except Exception as e:
+        if not trust_pickle:
+            raise ValueError(
+                f"{path}: safe (weights_only) load failed: {e}. The file "
+                "needs the full pickle loader, which executes code embedded "
+                "in the checkpoint; re-run with --trust-checkpoint (or "
+                "trust_pickle=True) if you trust its source."
+            ) from e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return import_reference_state_dict(sd, params, cfg)

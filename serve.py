@@ -66,6 +66,10 @@ class DVCServer:
         # immediately (RuntimeError) instead of accumulating unbounded latency
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = False
+        # guards _closed + enqueue: without it a submit that read
+        # _closed == False can enqueue AFTER close() put the None shutdown
+        # sentinel, stranding that request's Future forever
+        self._close_lock = threading.Lock()
 
         # warmup compile at serving shapes — with the SAME device-resident
         # params object the dispatch path uses (a host-numpy params pytree
@@ -93,8 +97,6 @@ class DVCServer:
         """features: (T, feature_dim) float array; duration: seconds.
         Returns a Future resolving to a list of k events, each
         {"segment": (start_s, end_s), "caption": str, "score": float}."""
-        if self._closed:
-            raise RuntimeError("server closed")
         feats = np.asarray(features, np.float32)
         if feats.ndim != 2 or feats.shape[1] != self.feature_dim:
             # reject malformed requests synchronously — once co-batched, a bad
@@ -103,19 +105,34 @@ class DVCServer:
                 f"features must be (T, {self.feature_dim}); got {feats.shape}"
             )
         fut: Future = Future()
-        try:
-            self._q.put_nowait((feats, float(duration), fut))
-        except queue.Full:
-            self.stats["shed"] = self.stats.get("shed", 0) + 1
-            raise RuntimeError(
-                f"server overloaded: queue at max_queue={self._q.maxsize}"
-            ) from None
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            try:
+                self._q.put_nowait((feats, float(duration), fut))
+            except queue.Full:
+                self.stats["shed"] = self.stats.get("shed", 0) + 1
+                raise RuntimeError(
+                    f"server overloaded: queue at max_queue={self._q.maxsize}"
+                ) from None
         return fut
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
+        # fail any stragglers that raced past the sentinel (can only happen
+        # if callers bypass submit(); cheap insurance either way)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("server closed"))
 
     # -- internals --------------------------------------------------------
 
@@ -223,6 +240,10 @@ def main():
     p.add_argument("--resume", default=None)
     p.add_argument("--from-reference-checkpoint", default=None,
                    help="serve weights migrated from a reference-trained .pth")
+    p.add_argument("--trust-checkpoint", action="store_true",
+                   help="allow the full pickle loader for reference "
+                        ".pth files that weights_only rejects "
+                        "(executes code embedded in the file)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
@@ -289,7 +310,8 @@ def main():
         )
 
         params, _ = load_reference_checkpoint(
-            args.from_reference_checkpoint, jax.device_get(params), cfg
+            args.from_reference_checkpoint, jax.device_get(params), cfg,
+            trust_pickle=args.trust_checkpoint,
         )
 
     server = DVCServer(model, params, vocab, cfg,

@@ -201,7 +201,8 @@ class TestMeteorSynonymyStage:
         synonym stage (exact runs first)."""
         from multimodal_feature_learning_tpu.evaluation.metrics.meteor import _align
         pairs = _align(["guitar"], ["guitar", "axe"], synsets)
-        assert pairs == [(0, 0, 0)]  # exact stage 0, not synonym stage 2
+        # exact stage 0, not synonym stage 2 (length-1 block 5-tuples)
+        assert pairs == [(0, 1, 0, 1, 0)]
 
     def test_env_var_gating(self, tmp_path, monkeypatch):
         f = tmp_path / "synsets.txt"
@@ -217,4 +218,117 @@ class TestMeteorSynonymyStage:
         """Without a table the scorer is bit-identical to the 2-stage form."""
         s1, p1 = Meteor().compute_score(GTS, RES)
         s2, p2 = Meteor(synsets=None).compute_score(GTS, RES)
+        assert s1 == s2 and p1 == p2
+
+
+PARA_CONTENT = (
+    "plays the guitar ||| strums a guitar\n"
+    "0.73 ||| sofa ||| couch\n"          # probability-prefixed line form
+    "gets up ||| rises\n"
+    "identical ||| identical\n"           # degenerate self-pair: dropped
+)
+# NOTE: spans are only eligible over words the exact/stem/synonym stages left
+# unmatched (stage priority, like the word stages); the jar's beam search can
+# additionally trade word matches for covering phrases — part of the
+# documented greedy-vs-beam deviation, so the port stays a lower bound.
+
+
+class TestMeteorParaphraseStage:
+    """Paraphrase matcher stage (w=0.6, jar paraphrase-en.gz) — VERDICT r3
+    missing item 1: the stage must exist in CODE, gated only on data."""
+
+    @pytest.fixture()
+    def paraphrases(self, tmp_path):
+        from multimodal_feature_learning_tpu.evaluation.metrics.meteor import (
+            load_paraphrase_table,
+        )
+        f = tmp_path / "paraphrase-en.txt"
+        f.write_text(PARA_CONTENT)
+        return load_paraphrase_table(str(f))
+
+    def test_table_parse(self, paraphrases):
+        assert paraphrases["plays the guitar"] & paraphrases["strums a guitar"]
+        assert paraphrases["sofa"] & paraphrases["couch"]
+        assert not (paraphrases["sofa"] & paraphrases["rises"])
+        assert "identical" not in paraphrases
+
+    def test_phrase_match_scores_higher(self, paraphrases):
+        hyp = "the man rises from the couch"
+        ref = "the man gets up from the sofa"
+        base = meteor_score(hyp, ref)
+        with_para = meteor_score(hyp, ref, paraphrases=paraphrases)
+        assert with_para > base
+
+    def test_unequal_span_lengths(self, paraphrases):
+        """'gets up' (2 words) matches 'rises' (1 word): both hyp words count
+        on the hyp side, one ref word on the ref side, at weight 0.6."""
+        from multimodal_feature_learning_tpu.evaluation.metrics.meteor import (
+            DELTA, _align, _segment_stats,
+        )
+        blocks = _align(["he", "gets", "up"], ["he", "rises"],
+                        paraphrases=paraphrases)
+        assert (1, 2, 1, 1, 3) in blocks  # span block, paraphrase stage id 3
+        s = _segment_stats("he gets up", "he rises", paraphrases=paraphrases)
+        # hyp: exact 'he' (function word) + 0.6 * (gets=content, up=function)
+        w_he = 1.0 - DELTA
+        np.testing.assert_allclose(
+            s["w_match_h"], w_he + 0.6 * (DELTA + (1.0 - DELTA)), rtol=1e-12
+        )
+        np.testing.assert_allclose(s["w_match_r"], w_he + 0.6 * DELTA, rtol=1e-12)
+        # matches credit the average span length: 1 (he) + (2+1)/2
+        np.testing.assert_allclose(s["matches"], 1.0 + 1.5, rtol=1e-12)
+
+    def test_exact_words_not_stolen(self, paraphrases):
+        """Word stages run first: exact matches must be untouched even when a
+        covering phrase is in the table."""
+        from multimodal_feature_learning_tpu.evaluation.metrics.meteor import _align
+        blocks = _align(
+            "plays the guitar".split(), "plays the guitar".split(),
+            paraphrases=paraphrases,
+        )
+        assert blocks == [(0, 1, 0, 1, 0), (1, 1, 1, 1, 0), (2, 1, 2, 1, 0)]
+
+    def test_adjacent_span_extends_chunk(self, paraphrases):
+        """A span match continuing the previous block on both sides must not
+        add a fragmentation chunk."""
+        from multimodal_feature_learning_tpu.evaluation.metrics.meteor import (
+            _segment_stats,
+        )
+        s = _segment_stats("he gets up", "he rises", paraphrases=paraphrases)
+        assert s["chunks"] == 1.0
+        # ...while a gapped one does
+        s2 = _segment_stats(
+            "he quietly gets up", "he rises", paraphrases=paraphrases
+        )
+        assert s2["chunks"] == 2.0
+
+    def test_env_var_gating(self, tmp_path, monkeypatch):
+        f = tmp_path / "paraphrase-en.txt"
+        f.write_text(PARA_CONTENT)
+        gts = {0: ["the man gets up"]}
+        res = {0: ["the man rises"]}
+        base, _ = Meteor().compute_score(gts, res)
+        monkeypatch.setenv("MFL_METEOR_PARAPHRASES", str(f))
+        gated, _ = Meteor().compute_score(gts, res)
+        assert gated > base
+
+    def test_explicit_missing_file_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            Meteor(paraphrase_file=str(tmp_path / "nope.gz"))
+
+    def test_gz_roundtrip(self, tmp_path):
+        import gzip
+
+        from multimodal_feature_learning_tpu.evaluation.metrics.meteor import (
+            load_paraphrase_table,
+        )
+        f = tmp_path / "paraphrase-en.gz"
+        with gzip.open(f, "wt") as fh:
+            fh.write(PARA_CONTENT)
+        t = load_paraphrase_table(str(f))
+        assert t["sofa"] & t["couch"]
+
+    def test_no_table_unchanged(self):
+        s1, p1 = Meteor().compute_score(GTS, RES)
+        s2, p2 = Meteor(paraphrases=None).compute_score(GTS, RES)
         assert s1 == s2 and p1 == p2

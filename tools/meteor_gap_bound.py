@@ -4,16 +4,17 @@ on real submissions.
 The reference scores captions through the METEOR 1.5 Java jar
 (/root/reference/evaluation/evaluate.py:249-258), whose English stage chain is
 exact(1.0) > stem(0.6) > synonym(0.8) > paraphrase(0.6). Our dependency-free
-port (evaluation/metrics/meteor.py) runs exact+stem always and synonymy only
-when a WordNet synset table is supplied (data-blocked in this image), so its
-scores are a lower bound on jar METEOR. This tool quantifies how loose that
-bound can be on an actual submission pair:
+port (evaluation/metrics/meteor.py) runs exact+stem always; the synonymy AND
+paraphrase stages are both implemented but data-gated (need a WordNet synset
+dump / paraphrase-en table, absent from this image), so default scores are a
+lower bound on jar METEOR. This tool quantifies how loose that bound can be
+on an actual submission pair:
 
-  METEOR_upper: re-score with every exact+stem-UNMATCHED candidate word
-  assumed to synonym-match an unmatched reference word (weight 0.8, top-k
-  weight pairing per segment, fragmentation chunks held at the exact+stem
-  count — each choice can only raise the score, so this is a hard upper
-  bound on what the two missing stages could add).
+  METEOR_upper: re-score with every exact+stem-UNMATCHED word on each side
+  assumed matched at the higher data-gated stage weight (0.8), with the
+  fragmentation chunk count held at the exact+stem value — each choice can
+  only raise the score, so this is a hard upper bound on what the two
+  data-gated stages could add (including unequal-length paraphrase spans).
 
 Reported per tIoU and averaged, for the full segment stream and for the
 stream excluding garbage-reference segments (unmatched proposals are scored
@@ -51,25 +52,31 @@ def _is_garbage_ref(ref_line: str) -> bool:
 
 
 def _upper_stats(hyp_line: str, ref_line: str):
-    """Exact+stem stats augmented with the maximal possible synonym-stage
-    contribution. Returns (stats, n_pairable, n_unmatched_hyp)."""
+    """Exact+stem stats augmented with the maximal possible contribution of
+    BOTH data-gated stages (synonym w=0.8, paraphrase w=0.6): every
+    exact+stem-unmatched word on EACH side is assumed matched at the higher
+    stage weight 0.8. Unlike a min-paired bound this also dominates
+    paraphrase span matches, which may pair unequal word counts (e.g. a
+    5-word hyp phrase against a 1-word ref phrase adds hyp-side weighted
+    matches for all 5 words). Returns (stats, n_pairable, n_unmatched_hyp)."""
     s = dict(_segment_stats(hyp_line, ref_line))
     hyp, ref = hyp_line.split(), ref_line.split()
-    pairs = _align(hyp, ref)
-    mh = {i for i, _, _ in pairs}
-    mr = {j for _, j, _ in pairs}
+    blocks = _align(hyp, ref)
+    mh = {i + t for i, lh, _, _, _ in blocks for t in range(lh)}
+    mr = {j + t for _, _, j, lr, _ in blocks for t in range(lr)}
 
     def w(word):
         return DELTA if word not in FUNCTION_WORDS else 1.0 - DELTA
 
-    un_h = sorted((w(x) for i, x in enumerate(hyp) if i not in mh), reverse=True)
-    un_r = sorted((w(x) for j, x in enumerate(ref) if j not in mr), reverse=True)
+    un_h = [w(x) for i, x in enumerate(hyp) if i not in mh]
+    un_r = [w(x) for j, x in enumerate(ref) if j not in mr]
     k = min(len(un_h), len(un_r))
-    s["w_match_h"] += SYN_W * sum(un_h[:k])
-    s["w_match_r"] += SYN_W * sum(un_r[:k])
-    s["matches"] += k
-    # chunks unchanged: with matches up and chunks fixed the fragmentation
-    # penalty only shrinks, keeping this an upper bound
+    s["w_match_h"] += SYN_W * sum(un_h)
+    s["w_match_r"] += SYN_W * sum(un_r)
+    # the fragmentation penalty gamma*(chunks/matches)^beta is decreasing in
+    # matches, so crediting the larger side's count (chunks unchanged) can
+    # only raise the score — still an upper bound
+    s["matches"] += max(len(un_h), len(un_r))
     return s, k, len(un_h)
 
 

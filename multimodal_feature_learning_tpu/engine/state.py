@@ -87,3 +87,32 @@ def load_checkpoint(path: str, abstract_state: Optional[TrainState] = None) -> D
             "epoch": 0,
         }
     return ckptr.restore(os.path.abspath(path), target)
+
+
+def shard_state(state: TrainState, mesh, tp_axis: Optional[str] = None) -> TrainState:
+    """Place a (host) TrainState onto `mesh` — the checkpoint-resharding hook.
+
+    Checkpoints are mesh-agnostic host pytrees (save_checkpoint device_gets
+    before writing), so a run saved under one topology resumes under any
+    other: save on DP8, restore on DP4xTP2 or a single device by loading the
+    host state and re-placing it here. With ``tp_axis`` the params AND the
+    matching adamw mu/nu moments get Megatron-style TP specs (the path-suffix
+    rules in parallel/tp.py apply to the moment subtrees verbatim because
+    optax mirrors the param tree); otherwise everything replicates.
+
+    Reference analog: resume semantics main.py:101-108, which only ever knew
+    one topology (DDP) — this is the mesh-general version.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.device_put(state, dev)
+    if tp_axis is None:
+        return jax.device_put(state, NamedSharding(mesh, P()))
+    from ..parallel.tp import _leaf_spec
+
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, v: _leaf_spec(p, v, tp_axis), state)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), state, specs)

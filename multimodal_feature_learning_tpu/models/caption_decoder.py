@@ -81,9 +81,15 @@ class UnimodalCaptionDecoder(nn.Module):
         return self.pos_dropout(x, deterministic=deterministic)
 
     def embed_at(self, tokens: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-        """(N,) tokens at dynamic position pos -> (N, 1, D)."""
+        """(N,) tokens at dynamic position pos -> (N, 1, D).
+
+        pos: scalar (lockstep batch decode) or (N,) per-row positions
+        (continuous-batching serve path)."""
         x = self.target_embedding(tokens[:, None])
-        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, pos, 1, axis=1)
+        if jnp.ndim(pos) == 1:
+            pe = self.pos_table[0, pos][:, None, :]  # (N, 1, D)
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(self.pos_table, pos, 1, axis=1)
         return x + pe.astype(x.dtype)
 
     def __call__(
@@ -267,20 +273,42 @@ def greedy_decode(
         done = done | (tok == eos_idx)
         return (t + 1, captions, done, k_caches, v_caches)
 
-    def step_cond(carry):
-        # early exit once every caption has emitted <eos> — the reference's
-        # "if total_caption_done == total_caption_num: break"
-        # (unimodal_sparse_dvc.py:345-346); token-identical because frozen
-        # captions only ever append <pad>. faster_eval fills every position.
-        t, captions, done, *_ = carry
-        if faster_eval:
-            return t < seq_len
-        return (t < seq_len) & ~jnp.all(done)
+    if faster_eval:
+        # faster_eval fills EVERY slot (reference :334-335) so there is no
+        # early exit to take — the flag is SEMANTIC (raw argmax everywhere),
+        # not a speedup here (greedy's all-done early exit usually wins; see
+        # README "faster_eval" note). A static-trip lax.scan lets XLA drop
+        # the per-step dynamic cond check and the dead done bookkeeping.
+        def scan_step(carry, t):
+            captions, k_caches, v_caches = carry
+            prev_tok = jnp.take_along_axis(
+                captions, (t - 1)[None, None].repeat(N, 0), axis=1)[:, 0]
+            pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
+            logits, k_caches, v_caches = module.apply(
+                params, prev_tok, pad_tok, t - 1, k_caches, v_caches, mem_kv,
+                memory_padding_mask, groups, zeroed_mask,
+                method=UnimodalCaptionDecoder.decode_pair,
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            captions = captions.at[:, t].set(tok)
+            return (captions, k_caches, v_caches), None
 
-    _, captions, done, _, _ = jax.lax.while_loop(
-        step_cond, step_body,
-        (jnp.int32(1), captions, done, k_caches, v_caches),
-    )
+        (captions, _, _), _ = jax.lax.scan(
+            scan_step, (captions, k_caches, v_caches),
+            jnp.arange(1, seq_len, dtype=jnp.int32))
+    else:
+        def step_cond(carry):
+            # early exit once every caption has emitted <eos> — the
+            # reference's "if total_caption_done == total_caption_num: break"
+            # (unimodal_sparse_dvc.py:345-346); token-identical because
+            # frozen captions only ever append <pad>.
+            t, captions, done, *_ = carry
+            return (t < seq_len) & ~jnp.all(done)
+
+        _, captions, done, _, _ = jax.lax.while_loop(
+            step_cond, step_body,
+            (jnp.int32(1), captions, done, k_caches, v_caches),
+        )
 
     if faster_eval:
         last = jnp.full((N,), eos_idx, dtype=jnp.int32)
@@ -288,6 +316,72 @@ def greedy_decode(
         has_eos = jnp.any(captions == eos_idx, axis=1)
         last = jnp.where(has_eos, pad_idx, eos_idx).astype(jnp.int32)
     return jnp.concatenate([captions, last[:, None]], axis=1)
+
+
+def greedy_decode_chunk(
+    module: UnimodalCaptionDecoder,
+    params,
+    captions: jnp.ndarray,        # (N, seq_len) int32, position 0 = <bos>
+    done: jnp.ndarray,            # (N,) bool — row emitted <eos>
+    t_vid: jnp.ndarray,           # (B,) int32 — next position to fill, per video
+    k_caches: jnp.ndarray,        # (depth, N, seq_len, D)
+    v_caches: jnp.ndarray,
+    mem_kv,                       # list of (k, v) from precompute_memory_kv
+    memory_padding_mask,          # (N, Sp)
+    seq_len: int,
+    eos_idx: int,
+    pad_idx: int,
+    groups: int,
+    zeroed_mask,
+    active_vid: jnp.ndarray,      # (B,) bool — slot holds a live request
+    chunk: int,
+):
+    """Advance each video's greedy decode by up to ``chunk`` positions at
+    PER-VIDEO cursors ``t_vid`` — the continuous-batching serve step: slots
+    at different decode depths run in the same dispatch, so a finished slot
+    can be harvested and refilled between chunks instead of holding the whole
+    batch through the longest caption (VERDICT r3 item 5).
+
+    Token semantics are identical to `greedy_decode` (argmax; done rows
+    append <pad>; a video freezes when all its `groups` rows are done or its
+    cursor reaches seq_len). Frozen videos still flow through the layer pass
+    (static shapes) but their state is fixpoint: the cache commit rewrites
+    the same values at the same position and caption/done/t updates are
+    gated, so re-running them is a no-op.
+
+    Returns (captions, done, t_vid, k_caches, v_caches).
+    """
+    B = t_vid.shape[0]
+    N = captions.shape[0]
+    G = groups
+    rows = jnp.arange(N)
+
+    def step_fn(carry, _):
+        captions, done, t_vid, k_caches, v_caches = carry
+        vid_done = jnp.all(done.reshape(B, G), axis=1)
+        adv_vid = active_vid & (t_vid < seq_len) & ~vid_done
+        t_row = jnp.repeat(t_vid, G)
+        adv_row = jnp.repeat(adv_vid, G)
+        t_w = jnp.clip(t_row, 1, seq_len - 1)
+        prev_tok = captions[rows, t_w - 1]
+        pad_tok = jnp.full((N,), pad_idx, dtype=jnp.int32)
+        logits, k_caches, v_caches = module.apply(
+            params, prev_tok, pad_tok, t_w - 1, k_caches, v_caches, mem_kv,
+            memory_padding_mask, G, zeroed_mask,
+            method=UnimodalCaptionDecoder.decode_pair,
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, pad_idx, tok)
+        captions = captions.at[rows, t_w].set(
+            jnp.where(adv_row, tok, captions[rows, t_w]))
+        done = done | ((tok == eos_idx) & adv_row)
+        t_vid = t_vid + adv_vid.astype(t_vid.dtype)
+        return (captions, done, t_vid, k_caches, v_caches), None
+
+    carry, _ = jax.lax.scan(
+        step_fn, (captions, done, t_vid, k_caches, v_caches),
+        None, length=chunk)
+    return carry
 
 
 def _greedy_decode_fused(

@@ -34,6 +34,7 @@ from .caption_decoder import (
     UnimodalCaptionDecoder,
     beam_search_decode,
     greedy_decode,
+    greedy_decode_chunk,
     make_causal_mask,
 )
 from .layers import ContextMaskModel, FFN
@@ -631,6 +632,30 @@ class UnimodalDVC:
         (B, G, Lc+1) token ids incl. BOS, k (B,) predicted event counts,
         scores (B, G) selection scores, valid (B, G) bool (row < k*).
         """
+        params, prep = self._serve_prepare(
+            params, video_tensor, video_mask, durations, rank)
+        captions = greedy_decode(
+            self.caption_decoder, params["caption"],
+            prep["memory"], prep["caption_pad_mask"],
+            self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
+            faster_eval=faster_eval, kv_dtype=prep["kv_dtype"],
+            groups=self.max_gt, zeroed_mask=prep["zeroed"],
+            decode_impl=self.decode_impl, kv_mode=self.decode_kv,
+        )  # (B*G, Lc+1)
+        B = durations.shape[0]
+        return {
+            "segments": prep["segments"],
+            "captions": captions.reshape(B, self.max_gt, -1),
+            "k": prep["k"],
+            "scores": prep["scores"],
+            "valid": prep["valid"],
+        }
+
+    def _serve_prepare(self, params, video_tensor, video_mask, durations,
+                       rank: str):
+        """Shared GT-free serving front half: propose, rank, select top-G,
+        crop per-event memory. Returns (cast params, dict of decode inputs +
+        resolved proposal outputs)."""
         params = self._cast_params(params)
         out = self.proposal_net.apply(
             params["proposal"],
@@ -670,26 +695,127 @@ class UnimodalDVC:
         kv_dtype = (
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
         )
-        captions = greedy_decode(
-            self.caption_decoder, params["caption"],
-            memory, caption_pad_mask,
-            self.seq_len, self.bos_idx, self.eos_idx, self.pad_idx,
-            faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
-            zeroed_mask=zeroed,
-            decode_impl=self.decode_impl, kv_mode=self.decode_kv,
-        )  # (B*G, Lc+1)
         B = indices.shape[0]
         rows = jnp.arange(B)[:, None]
         segments = denormalize_segments(
             out["pred_segments"][rows, indices], durations[:, None]
-        )  # (B, G, 2) seconds
-        return {
+        )  # (B, G) seconds
+        return params, {
+            "memory": memory,
+            "caption_pad_mask": caption_pad_mask,
+            "zeroed": zeroed,
+            "kv_dtype": kv_dtype,
             "segments": segments,
-            "captions": captions.reshape(B, G, -1),
             "k": k,
             "scores": top_scores,
             "valid": valid,
         }
+
+    # -- continuous-batching serve pieces (serve.py --continuous) ----------
+
+    def forward_serve_prefill(self, params, video_tensor, video_mask,
+                              durations, rank: str = "stability"):
+        """Front half of forward_serve for the continuous-batching server:
+        propose + select + crop memory, precompute per-layer cross-attn K/V,
+        and initialize the per-slot decode state. The decode then advances in
+        chunks (`forward_serve_decode_chunk`) so finished slots are harvested
+        and refilled mid-flight instead of holding the batch through the
+        longest caption.
+
+        Returns (ctx, state):
+          ctx   — per-slot decode context + resolved proposal outputs
+                  (mem_kv, caption_pad_mask, zeroed, segments, k, scores);
+          state — mutable decode state (captions (N, L), done (N,),
+                  t (B,), k_caches, v_caches).
+        """
+        params, prep = self._serve_prepare(
+            params, video_tensor, video_mask, durations, rank)
+        G = self.max_gt
+        B = durations.shape[0]
+        N = B * G
+        memory = prep["memory"]
+        mem_kv = self.caption_decoder.apply(
+            params["caption"], memory,
+            method=UnimodalCaptionDecoder.precompute_memory_kv)
+        if prep["kv_dtype"] is not None:
+            mem_kv = jax.tree.map(
+                lambda a: a.astype(prep["kv_dtype"]), mem_kv)
+        D = memory.shape[-1]
+        depth = self.caption_decoder.depth
+        captions = jnp.full((N, self.seq_len), self.pad_idx, dtype=jnp.int32)
+        captions = captions.at[:, 0].set(self.bos_idx)
+        ctx = {
+            "mem_kv": mem_kv,
+            "caption_pad_mask": prep["caption_pad_mask"],
+            "zeroed": prep["zeroed"],
+            "segments": prep["segments"],
+            "k": prep["k"],
+            "scores": prep["scores"],
+            "valid": prep["valid"],
+        }
+        state = {
+            "captions": captions,
+            "done": jnp.zeros((N,), dtype=bool),
+            "t": jnp.ones((B,), dtype=jnp.int32),
+            "k_caches": jnp.zeros((depth, N, self.seq_len, D), memory.dtype),
+            "v_caches": jnp.zeros((depth, N, self.seq_len, D), memory.dtype),
+        }
+        return ctx, state
+
+    def forward_serve_decode_chunk(self, params, ctx, state,
+                                   active_vid, chunk: int):
+        """Advance every active slot's greedy decode by up to `chunk` tokens
+        at per-slot cursors (caption_decoder.greedy_decode_chunk)."""
+        params = self._cast_params(params)
+        captions, done, t, kc, vc = greedy_decode_chunk(
+            self.caption_decoder, params["caption"],
+            state["captions"], state["done"], state["t"],
+            state["k_caches"], state["v_caches"],
+            ctx["mem_kv"], ctx["caption_pad_mask"],
+            self.seq_len, self.eos_idx, self.pad_idx,
+            self.max_gt, ctx["zeroed"], active_vid, chunk,
+        )
+        return {"captions": captions, "done": done, "t": t,
+                "k_caches": kc, "v_caches": vc}
+
+    @staticmethod
+    def merge_serve_slots(ctx, state, new_ctx, new_state, replace, groups):
+        """Swap freshly prefilled slots into the running decode state where
+        `replace` (B,) is True — pure jnp.where per leaf (leading dim B,
+        N = B*groups, or (depth, N, ...) for the caches)."""
+        B = replace.shape[0]
+        rrow = jnp.repeat(replace, groups)
+
+        def mb(o, n):  # leading dim B
+            return jnp.where(replace.reshape((B,) + (1,) * (o.ndim - 1)), n, o)
+
+        def mrow(o, n):  # leading dim N
+            m = rrow.reshape((rrow.shape[0],) + (1,) * (o.ndim - 1))
+            return jnp.where(m, n, o)
+
+        def mcache(o, n):  # (depth, N, ...)
+            m = rrow.reshape((1, rrow.shape[0]) + (1,) * (o.ndim - 2))
+            return jnp.where(m, n, o)
+
+        merged_ctx = {
+            "mem_kv": jax.tree.map(mb, ctx["mem_kv"], new_ctx["mem_kv"]),
+            "caption_pad_mask": mrow(ctx["caption_pad_mask"],
+                                     new_ctx["caption_pad_mask"]),
+            "zeroed": (None if ctx["zeroed"] is None
+                       else mrow(ctx["zeroed"], new_ctx["zeroed"])),
+            "segments": mb(ctx["segments"], new_ctx["segments"]),
+            "k": mb(ctx["k"], new_ctx["k"]),
+            "scores": mb(ctx["scores"], new_ctx["scores"]),
+            "valid": mb(ctx["valid"], new_ctx["valid"]),
+        }
+        merged_state = {
+            "captions": mrow(state["captions"], new_state["captions"]),
+            "done": mrow(state["done"], new_state["done"]),
+            "t": mb(state["t"], new_state["t"]),
+            "k_caches": mcache(state["k_caches"], new_state["k_caches"]),
+            "v_caches": mcache(state["v_caches"], new_state["v_caches"]),
+        }
+        return merged_ctx, merged_state
 
 
 def build_model(cfg, vocab_size, pad_idx=1, bos_idx=2, eos_idx=3, embedding_matrix=None):

@@ -367,16 +367,26 @@ class UnimodalCaptionDecoderLayer(nn.Module):
         same prefix — which includes the just-committed key but not its own
         (nothing is cached at step+1).  Identical math to two ``incremental``
         calls, at half the cache/memory traffic.
+
+        ``step``/``valid_len`` may be scalars (whole batch in lockstep — the
+        batch greedy decode) or (N,) arrays (per-row positions — the
+        continuous-batching serve path, where slots join mid-flight at t=0
+        while others are mid-caption).
         """
         assert not self.pre_norm
         N, _, D = x.shape
         Tc = k_cache.shape[1]
 
         kx, vx = self.self_attention.project_kv(x[:, :1], x[:, :1])
-        k_cache = jax.lax.dynamic_update_slice(k_cache, kx, (0, step, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, vx, (0, step, 0))
-
-        key_mask = (jnp.arange(Tc) >= valid_len)[None, :]
+        if jnp.ndim(step) == 1:
+            rows = jnp.arange(N)
+            k_cache = k_cache.at[rows, step].set(kx[:, 0])
+            v_cache = v_cache.at[rows, step].set(vx[:, 0])
+            key_mask = jnp.arange(Tc)[None, :] >= valid_len[:, None]
+        else:
+            k_cache = jax.lax.dynamic_update_slice(k_cache, kx, (0, step, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, vx, (0, step, 0))
+            key_mask = (jnp.arange(Tc) >= valid_len)[None, :]
         qx = self.self_attention.project_q(x)
         sa = self.self_attention.attend(
             qx, k_cache, v_cache,

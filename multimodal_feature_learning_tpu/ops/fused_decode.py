@@ -227,15 +227,17 @@ def _decode_step_kernel(
 
     x = x_scr[b]  # (R, D) ct
 
+    # Mosaic's tpu.matmul requires a 32-bit accumulator, so every dot runs
+    # with preferred_element_type=f32 and rounds to ct afterwards — exactly
+    # what the XLA path's operand-dtype (bf16) dots do on the MXU (f32
+    # accumulate, bf16 result), so token parity is preserved.
+    def mxu_dot(a, b_mat, dims):
+        return jax.lax.dot_general(
+            a, b_mat, dims, preferred_element_type=jnp.float32
+        ).astype(ct)
+
     def dense(v, kname, bname):
-        return (
-            jax.lax.dot_general(
-                v, w[kname][0],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=ct,
-            )
-            + w[bname][0]
-        )
+        return mxu_dot(v, w[kname][0], (((1,), (0,)), ((), ()))) + w[bname][0]
 
     # ---- self attention -------------------------------------------------
     # commit rows [0, G) write their projected k/v into the cache at `step`
@@ -264,21 +266,17 @@ def _decode_step_kernel(
 
     for h in range(H):
         hs = slice(h * Dh, (h + 1) * Dh)
-        lg = jax.lax.dot_general(
-            q[:, hs], kc[:, hs],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=ct,
+        lg = mxu_dot(
+            q[:, hs], kc[:, hs], (((1,), (1,)), ((), ()))
         ).astype(jnp.float32)  # (R, C)
         lg = jnp.where(sa_blocked, NEG_MASK, lg) * scale
         m = jnp.max(lg, axis=-1, keepdims=True)
         e = jnp.exp(lg - m)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_h = jax.lax.dot_general(
-            attn.astype(ct), vc[:, hs],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=ct,
+        out_h = mxu_dot(
+            attn.astype(ct), vc[:, hs], (((1,), (0,)), ((), ()))
         )
-        asm_scr[:, hs] = out_h.astype(ct)
+        asm_scr[:, hs] = out_h
 
     sa = dense(asm_scr[:], "sa_wo", "sa_bo")
     x = _layer_norm(x + sa, w["ln1_s"][0], w["ln1_b"][0], ct)
@@ -295,10 +293,8 @@ def _decode_step_kernel(
         else:
             kh = mk_ref[0, 0][:, hs]
             vh = mv_ref[0, 0][:, hs]
-        lg = jax.lax.dot_general(
-            qc[:, hs], kh,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=ct,
+        lg = mxu_dot(
+            qc[:, hs], kh, (((1,), (1,)), ((), ()))
         ).astype(jnp.float32)  # (R, Sp)
         if kv_int8:
             lg = lg * ks_ref[0, 0]  # (1, Sp) broadcast over rows
@@ -310,13 +306,15 @@ def _decode_step_kernel(
             # (models/layers.py:132-168)
             kb = w["ca_bk"][0][:, hs].astype(ct)          # (1, Dh)
             vb = w["ca_bv"][0][:, hs].astype(jnp.float32)  # (1, Dh)
-            # XLA path computes q·k_bias as a ct einsum then upcasts;
-            # replicate via a ct dot against the single bias key
-            l_bias = jax.lax.dot_general(
-                qc[:, hs], kb,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=ct,
-            ).astype(jnp.float32) * scale  # (R, 1)
+            # XLA path computes q·k_bias as a ct einsum then upcasts. A
+            # single-key matmul trips Mosaic's lowering (mixed-dtype
+            # vector.broadcast), so compute it as an explicit f32
+            # multiply-reduce on the VPU (products exact for bf16 inputs,
+            # f32 accumulate — the MXU recipe) and round to ct to mirror
+            # the einsum's result dtype before the upcast.
+            prod = qc[:, hs].astype(jnp.float32) * kb.astype(jnp.float32)
+            l_bias = jnp.sum(prod, axis=-1, keepdims=True).astype(ct).astype(
+                jnp.float32) * scale  # (R, 1)
             bias_logit = l_bias + logm_ref[0]  # (R, 1)
             m_max = jnp.maximum(
                 jnp.max(scaled, axis=-1, keepdims=True), bias_logit
@@ -328,10 +326,8 @@ def _decode_step_kernel(
             attn_bias = e_bias / denom  # (R, 1) f32
             if kv_int8:
                 attn = attn * vs_ref[0, 0]
-            out_h = jax.lax.dot_general(
-                attn.astype(ct), vh,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=ct,
+            out_h = mxu_dot(
+                attn.astype(ct), vh, (((1,), (0,)), ((), ()))
             ).astype(jnp.float32) + attn_bias * vb
         else:
             m = jnp.max(scaled, axis=-1, keepdims=True)
@@ -339,10 +335,8 @@ def _decode_step_kernel(
             attn = e / jnp.sum(e, axis=-1, keepdims=True)
             if kv_int8:
                 attn = attn * vs_ref[0, 0]
-            out_h = jax.lax.dot_general(
-                attn.astype(ct), vh,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=ct,
+            out_h = mxu_dot(
+                attn.astype(ct), vh, (((1,), (0,)), ((), ()))
             ).astype(jnp.float32)
         asm_scr[:, hs] = out_h.astype(ct)
 
@@ -352,14 +346,7 @@ def _decode_step_kernel(
     # ---- MLP --------------------------------------------------------------
     h1 = dense(x, "mlp_w1", "mlp_b1")
     h1 = _gelu_exact(h1, ct)
-    y = (
-        jax.lax.dot_general(
-            h1, w["mlp_w2"][0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=ct,
-        )
-        + w["mlp_b2"][0]
-    )
+    y = mxu_dot(h1, w["mlp_w2"][0], (((1,), (0,)), ((), ()))) + w["mlp_b2"][0]
     x = _layer_norm(x + y, w["ln3_s"][0], w["ln3_b"][0], ct)
 
     x_scr[b] = x

@@ -224,6 +224,222 @@ class DVCServer:
             fut.set_result(events)
 
 
+class ContinuousDVCServer(DVCServer):
+    """Slot-refill continuous batching (VERDICT r3 item 5).
+
+    The static server holds all `batch_size` requests through one monolithic
+    serve step — one long caption delays 15 co-batched requests through the
+    full decode scan, and arrivals wait for the whole previous dispatch.
+    Here the batch is a pool of `batch_size` RESIDENT SLOTS advancing through
+    the decode in `chunk`-token pieces at PER-SLOT cursors
+    (models/dvc.py forward_serve_prefill / forward_serve_decode_chunk):
+
+      * between chunks, finished slots are harvested (futures resolve as soon
+        as THEIR caption is done, not the batch's longest) and refilled from
+        the queue via a jitted where-merge (merge_serve_slots);
+      * a new request enters at the next chunk boundary (<= chunk tokens)
+        instead of waiting out the previous dispatch.
+
+    Three compiled programs (prefill, chunk, merge), all static shapes.
+    Token semantics match the static path exactly — per-video greedy decode
+    is batch-independent, pinned by tests/test_continuous_serve.py.
+    """
+
+    def __init__(self, model, params, vocab, cfg, batch_size: int = 16,
+                 chunk: int = 4, rank: str = "stability", max_queue: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.chunk = chunk
+        self.rescale_len = cfg.dataset.activity_net.video_rescale_len
+        self.feature_dim = cfg.dvc.detr.feature_dim
+        self.G = cfg.dataset.activity_net.max_gt_target_segments
+        self.seq_len = cfg.dataset.activity_net.max_caption_len_all
+        self.pad_idx = vocab.pad_idx
+        self.eos_idx = vocab.eos_idx
+
+        self._prefill = jax.jit(
+            lambda p, v, m, d: model.forward_serve_prefill(p, v, m, d, rank=rank)
+        )
+        self._chunk_fn = jax.jit(
+            lambda p, ctx, st, act: model.forward_serve_decode_chunk(
+                p, ctx, st, act, chunk),
+            donate_argnums=(2,),
+        )
+        self._merge_fn = jax.jit(
+            lambda ctx, st, nctx, nst, rep: model.merge_serve_slots(
+                ctx, st, nctx, nst, rep, self.G),
+            donate_argnums=(0, 1),
+        )
+        self._params = jax.device_put(params)
+        self.stats = {"dispatches": 0, "filled": 0, "step_s": 0.0,
+                      "prefills": 0, "chunks": 0}
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._closed = False
+        self._close_lock = threading.Lock()
+
+        # bootstrap resident ctx/state on zero slots + warmup all 3 programs
+        B, T, D = batch_size, self.rescale_len, self.feature_dim
+        self._zero_video = np.zeros((B, T, D), np.float32)
+        self._zero_mask = np.zeros((B, T), bool)
+        ctx, state = self._prefill(
+            self._params, self._zero_video, self._zero_mask,
+            np.ones((B,), np.float32))
+        ctx2, state2 = self._prefill(
+            self._params, self._zero_video, self._zero_mask,
+            np.ones((B,), np.float32))
+        ctx, state = self._merge_fn(
+            ctx, state, ctx2, state2, np.zeros((B,), bool))
+        state = self._chunk_fn(self._params, ctx, state, np.zeros((B,), bool))
+        np.asarray(state["done"])  # hard sync (axon block_until_ready quirk)
+        self._ctx, self._state = ctx, state
+
+        self._slots: List = [None] * B  # per-slot in-flight Future
+        self._active = np.zeros(B, dtype=bool)
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    # -- internals ----------------------------------------------------------
+
+    def _serve_loop(self):
+        import jax
+
+        B, G, L = self.batch_size, self.G, self.seq_len
+        closing = False
+        while True:
+            # -- admit new requests into free slots --------------------------
+            free = [i for i in range(B) if not self._active[i]]
+            new_items = []
+            if free and not closing:
+                if not self._active.any():
+                    item = self._q.get()  # idle: block for work
+                    if item is None:
+                        return
+                    new_items.append(item)
+                while len(new_items) < len(free):
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        closing = True
+                        break
+                    new_items.append(nxt)
+            elif closing and not self._active.any():
+                return
+            if new_items:
+                video = self._zero_video.copy()
+                durations = np.ones((B,), np.float32)
+                replace = np.zeros((B,), bool)
+                for (feats, dur, fut), slot in zip(new_items, free):
+                    try:
+                        video[slot] = self._ingest(feats)
+                        durations[slot] = dur
+                    except Exception as e:  # noqa: BLE001
+                        self.stats["errors"] = self.stats.get("errors", 0) + 1
+                        if not fut.done():
+                            fut.set_exception(e)
+                        continue
+                    replace[slot] = True
+                    self._slots[slot] = fut
+                    self._active[slot] = True
+                t0 = time.monotonic()
+                try:
+                    nctx, nst = self._prefill(
+                        self._params, video, self._zero_mask, durations)
+                    self._ctx, self._state = self._merge_fn(
+                        self._ctx, self._state, nctx, nst, replace)
+                except Exception as e:  # noqa: BLE001
+                    # the merge donated the resident state, so every active
+                    # slot's progress is gone, not just the new ones
+                    self._fail_slots(np.where(self._active)[0], e)
+                self.stats["prefills"] += 1
+                self.stats["step_s"] += time.monotonic() - t0
+                self.stats["filled"] += len(new_items)
+                self.stats["dispatches"] += 1
+
+            if not self._active.any():
+                continue
+
+            # -- advance one decode chunk ------------------------------------
+            t0 = time.monotonic()
+            try:
+                self._state = self._chunk_fn(
+                    self._params, self._ctx, self._state, self._active)
+                host = jax.device_get(
+                    {"done": self._state["done"], "t": self._state["t"]})
+            except Exception as e:  # noqa: BLE001
+                self._fail_slots(np.where(self._active)[0], e)
+                continue
+            self.stats["chunks"] += 1
+            self.stats["step_s"] += time.monotonic() - t0
+
+            vid_done = host["done"].reshape(B, G).all(axis=1) | (
+                host["t"] >= L)
+            finished = self._active & vid_done
+            if finished.any():
+                self._harvest(np.where(finished)[0])
+
+    def _harvest(self, slots):
+        import jax
+
+        G, L = self.G, self.seq_len
+        host = jax.device_get({
+            "captions": self._state["captions"],
+            "segments": self._ctx["segments"],
+            "k": self._ctx["k"],
+            "scores": self._ctx["scores"],
+        })
+        caps = host["captions"].reshape(self.batch_size, G, L)
+        for slot in slots:
+            fut = self._slots[slot]
+            self._slots[slot] = None
+            self._active[slot] = False
+            if fut is None or fut.done():
+                continue
+            k = int(host["k"][slot])
+            rows = caps[slot, :k]  # (k, L)
+            # trailing token, as greedy_decode appends it: <pad> if the row
+            # already emitted <eos>, else <eos>
+            has_eos = (rows == self.eos_idx).any(axis=1)
+            tail = np.where(has_eos, self.pad_idx, self.eos_idx).astype(rows.dtype)
+            rows = np.concatenate([rows, tail[:, None]], axis=1)
+            strings = _captions_to_strings(rows, self.vocab)
+            events = [
+                {
+                    "segment": (float(host["segments"][slot, j, 0]),
+                                float(host["segments"][slot, j, 1])),
+                    "caption": strings[j],
+                    "score": float(host["scores"][slot, j]),
+                }
+                for j in range(k)
+            ]
+            fut.set_result(events)
+
+    def _fail_slots(self, slots, exc):
+        self.stats["errors"] = self.stats.get("errors", 0) + 1
+        for slot in slots:
+            fut = self._slots[slot]
+            self._slots[slot] = None
+            self._active[slot] = False
+            if fut is not None and not fut.done():
+                fut.set_exception(exc)
+        # chunk/merge donate their input buffers, so a failed dispatch may
+        # have consumed the resident state — rebuild from a zero prefill so
+        # later requests see a healthy pool (in-flight ones were just failed)
+        try:
+            B = self.batch_size
+            self._ctx, self._state = self._prefill(
+                self._params, self._zero_video, self._zero_mask,
+                np.ones((B,), np.float32))
+            self._active[:] = False
+        except Exception:  # noqa: BLE001 — next dispatch will surface it
+            pass
+
+
 def _captions_to_strings(captions, vocab) -> List[str]:
     from multimodal_feature_learning_tpu.utils.postprocess import (
         captions_to_string,
@@ -249,6 +465,13 @@ def main():
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--max-queue", type=int, default=0,
                    help="shed submits beyond this queue depth (0 = unbounded)")
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-refill continuous batching: finished decode "
+                        "slots are harvested and refilled between chunks "
+                        "instead of holding the batch through the longest "
+                        "caption")
+    p.add_argument("--chunk", type=int, default=4,
+                   help="decode tokens per dispatch in --continuous mode")
     p.add_argument("--rps", type=float, default=100.0,
                    help="Poisson arrival rate of the load generator")
     p.add_argument("--n-requests", type=int, default=256)
@@ -314,11 +537,20 @@ def main():
             trust_pickle=args.trust_checkpoint,
         )
 
-    server = DVCServer(model, params, vocab, cfg,
-                       batch_size=args.batch_size,
-                       max_wait_ms=args.max_wait_ms,
-                       faster_eval=args.faster_eval,
-                       max_queue=args.max_queue)
+    if args.continuous:
+        if args.faster_eval:
+            raise SystemExit("--faster-eval is a fill-all-slots batch-eval "
+                             "semantic; it has no meaning under --continuous")
+        server = ContinuousDVCServer(model, params, vocab, cfg,
+                                     batch_size=args.batch_size,
+                                     chunk=args.chunk,
+                                     max_queue=args.max_queue)
+    else:
+        server = DVCServer(model, params, vocab, cfg,
+                           batch_size=args.batch_size,
+                           max_wait_ms=args.max_wait_ms,
+                           faster_eval=args.faster_eval,
+                           max_queue=args.max_queue)
 
     # request stream: real val features through the dataset's own loader path
     reqs = []
@@ -359,6 +591,7 @@ def main():
     lat_ms = np.array(sorted(done)) * 1000.0
     result = {
         "metric": "dvc_serving",
+        "mode": "continuous" if args.continuous else "static",
         "requests": len(done),
         "offered_rps": args.rps,
         "achieved_rps": round(len(done) / (t_done - t_start), 2),
@@ -371,8 +604,13 @@ def main():
         "shed": shed,
         "dispatches": stats["dispatches"],
         "mean_batch_fill": round(stats["filled"] / max(stats["dispatches"], 1), 2),
-        "mean_step_ms": round(1000 * stats["step_s"] / max(stats["dispatches"], 1), 2),
+        "mean_step_ms": round(
+            1000 * stats["step_s"]
+            / max(stats["dispatches"] + stats.get("chunks", 0), 1), 2),
     }
+    if args.continuous:
+        result["chunks"] = stats.get("chunks", 0)
+        result["chunk_size"] = args.chunk
     print(json.dumps(result))
 
 

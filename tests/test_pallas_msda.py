@@ -64,3 +64,34 @@ def test_fused_bwd_matches_xla_formulation():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
         )
+
+
+def test_qtiled_bwd_dense_encoder_shape():
+    """Q-tiling correctness at a multi-tile Q (the dense-encoder case that
+    exceeded VMEM untiled — VERDICT r3 item 8): grads must match the gather
+    oracle when the backward grid spans several Q tiles, including a ragged
+    final tile, and dValue accumulates across them."""
+    # Q=37 with q_tile=16 -> 3 tiles (last ragged); small dims keep interpret
+    # mode fast while exercising exactly the tiled code path
+    value, loc, aw = make_inputs(seed=4, B=1, H=2, Dh=8, Q=37, P=2)
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(
+        rng.normal(size=(value.shape[0], loc.shape[1],
+                         value.shape[2] * value.shape[3])).astype(np.float32))
+
+    from multimodal_feature_learning_tpu.ops.pallas_msda import _bwd_pallas
+
+    tiled = _bwd_pallas(value, SHAPES, loc, aw, g, interpret=True, q_tile=16)
+    single = _bwd_pallas(value, SHAPES, loc, aw, g, interpret=True, q_tile=64)
+
+    def loss(v, l, a):
+        out = ms_deform_attn_core(v, SHAPES, l, a, backend="gather")
+        return jnp.sum(out * g)
+
+    oracle = jax.grad(loss, argnums=(0, 1, 2))(value, loc, aw)
+    for got, ref, name in zip(tiled, oracle, ("value", "loc", "aw")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+    for a, b in zip(tiled, single):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

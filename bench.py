@@ -326,6 +326,29 @@ def main():
         if vps > best_serve[0]:
             best_serve = (vps, f"greedy_dev_bf16_B{B}")
 
+    # ---------------- fused Pallas decode-step kernel (VERDICT r3 item 1) ---
+    # same serve path, decode_impl="fused": one pallas_call per token runs all
+    # caption-decoder layers with the hidden state VMEM-resident; optional
+    # int8 cross-attn K/V halves the dominant decode HBM stream (item 2).
+    for name, kv in (("fused", "dense"), ("fused_int8", "int8")):
+        try:
+            cfgF = _flagship_cfg(batch_size=BATCH)
+            cfgF.compute_dtype = "bfloat16"
+            cfgF.decode_impl = "fused"
+            cfgF.decode_kv = kv
+            mdlF = build_model(cfgF, vocab_size)
+            inferF = make_infer(mdlF)
+            dt = time_fn(inferF, [(params, b) for b in dev_batches], 16,
+                         (params, dev_batches[0]))
+            vps = round(BATCH * 16 / dt, 3)
+            rows[f"greedy_infer_dev_bf16_{name}_videos_per_s"] = vps
+            rows[f"greedy_infer_dev_bf16_{name}_step_ms"] = round(
+                1000 * dt / 16, 2)
+            if vps > best_serve[0]:
+                best_serve = (vps, f"greedy_dev_bf16_{name}_B{BATCH}")
+        except Exception as e:  # noqa: BLE001 — record, don't kill the bench
+            rows[f"greedy_infer_dev_bf16_{name}_error"] = str(e)[:200]
+
     # ---------------- p50/p95 per-video latency (B=1, bf16 serving) ---------
     cfg1 = _flagship_cfg(batch_size=1)
     cfg1.compute_dtype = "bfloat16"

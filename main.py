@@ -227,7 +227,8 @@ def main():
     params = replicate_params(params, mesh)
 
     tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
-    state = create_train_state(params, tx)
+    state = create_train_state(
+        params, tx, master_dtype=getattr(cfg, "master_dtype", None))
     start_epoch = cfg.start_epoch
     if cfg.resume:
         restored = load_checkpoint(cfg.resume, state)

@@ -66,6 +66,11 @@ def load_config_train() -> ml_collections.ConfigDict:
     # compute dtype; "int8" quantizes per token (halves the dominant decode
     # HBM stream; flag-gated — greedy tokens may differ at ties)
     cfg.decode_kv = "dense"
+    # TRAIN master-param dtype: "bfloat16" folds the f32 master copy (params
+    # + adam moments in bf16) — ~15% fewer weight-side HBM bytes per step
+    # (PERF.md byte attribution) at an update-precision cost; default keeps
+    # f32 masters (the mixed-precision policy quality tests pin)
+    cfg.master_dtype = "float32"
     # host->device batch transfer dtype for TRAINING: "bfloat16" halves the
     # bytes pushed over the host->device link per step (float arrays only;
     # the train step upcasts at entry, so only the f32->bf16 input rounding
@@ -230,6 +235,9 @@ def load_config_train() -> ml_collections.ConfigDict:
     # decode configuration (reference exposes faster_eval at the model API,
     # unimodal_sparse_dvc.py:111; beam search is a TPU-native extension)
     ev.val_mode = "one_by_one"   # one_by_one | teacher_forcing | beam
+    # NOTE: faster_eval is a SEMANTIC flag (raw argmax fills every caption
+    # slot, reference :334-335), NOT a speedup here — it must run all
+    # seq_len steps and so forfeits greedy's all-done early exit (README)
     ev.faster_eval = False
     ev.beam_size = 4
     ev.length_penalty = 0.0

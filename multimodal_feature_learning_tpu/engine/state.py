@@ -47,7 +47,20 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     )
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(params, tx: optax.GradientTransformation,
+                       master_dtype=None) -> TrainState:
+    """master_dtype="bfloat16" FOLDS the f32 master copy: params (and the
+    adam moments tx.init derives from them) live in bf16 — shaves ~15% of
+    the train step's weight-side HBM bytes (PERF.md byte attribution) at an
+    update-precision cost. Flag-gated, default f32 masters
+    (cfg.master_dtype; measured in PERF.md "f32-master fold")."""
+    if master_dtype is not None and jnp.dtype(master_dtype) != jnp.float32:
+        dt = jnp.dtype(master_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            params,
+        )
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,

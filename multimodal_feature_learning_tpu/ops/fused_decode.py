@@ -244,15 +244,20 @@ def _decode_step_kernel(
     x_commit = x[:G]
     kx = dense(x_commit, "sa_wk", "sa_bk")  # (G, D)
     vx = dense(x_commit, "sa_wv", "sa_bv")
-    # copy-through + patched rows via ref stores (Mosaic has no value-level
-    # dynamic_update_slice); the updated caches are then read back for the
-    # attention so the committed token attends itself
-    kc_out[0, 0] = kc_ref[0, 0]
-    vc_out[0, 0] = vc_ref[0, 0]
-    kc_out[0, 0, pl.ds(step * G, G), :] = kx
-    vc_out[0, 0, pl.ds(step * G, G), :] = vx
-    kc = kc_out[0, 0]
-    vc = vc_out[0, 0]
+    # commit via a STATIC where-select over the whole cache block (row
+    # j = p*G + e holds event e's key at position p, so position `step`'s
+    # rows are j//G == step and the patch values tile kx over positions).
+    # A dynamic-offset vector store at step*G is unprovably unaligned for
+    # Mosaic (G=10); the full block is written out regardless, so the
+    # select costs nothing extra. The updated caches feed the attention so
+    # the committed token attends itself.
+    commit_row = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) // G == step
+    kc = jnp.where(commit_row, jnp.concatenate([kx] * (C // G), axis=0),
+                   kc_ref[0, 0])
+    vc = jnp.where(commit_row, jnp.concatenate([vx] * (C // G), axis=0),
+                   vc_ref[0, 0])
+    kc_out[0, 0] = kc
+    vc_out[0, 0] = vc
 
     q = dense(x, "sa_wq", "sa_bq")  # (R, D)
 

@@ -24,15 +24,33 @@ Protocol (recorded in the JSON as "protocol"):
   * the headline is the best videos/s across serving configs; the winning
     config is recorded as "headline_config".
 
+RESILIENCE (the round-4 bench died rc=124/parsed-null when the tunnel data
+path wedged mid-run and every measured row was lost because results printed
+only at process exit):
+  * a device-health probe runs FIRST in a subprocess with a hard timeout; a
+    wedged tunnel produces a parseable JSON line saying so instead of a hang;
+  * every row streams to stderr flushed the moment it is measured, and is
+    appended to a sidecar JSONL (/tmp/mfl_bench_stream.jsonl);
+  * SIGTERM/SIGINT/SIGALRM handlers and a watchdog thread (global --budget-s
+    self-budget + a no-progress stall detector) print the final JSON line
+    with whatever has been measured, marked "partial": true, then exit —
+    one bad window degrades the bench, it cannot erase it;
+  * sections run most-important-first (headline serving rows, then the fused
+    decode kernel, then train) so a partial capture still carries the story.
+
 Prints ONE JSON line to stdout:
   {"metric", "value", "unit", "vs_baseline", "rows", "protocol", ...}
 Baseline: the driver north star of 8 videos/sec/chip (BASELINE.json; the
 reference publishes no throughput numbers).
 """
 
+import argparse
 import json
 import os
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -48,6 +66,164 @@ SERVE_BATCHES = (16, 32, 64, 128)
 # tokens on >90% of events (tests/test_bf16.py) and quality deltas within
 # noise (QUALITY.md); f32 rows are kept alongside for comparison
 RTT_DEGRADED_MS = 25.0  # tiny-op sync RTT above this flags a degraded window
+
+STREAM_PATH = "/tmp/mfl_bench_stream.jsonl"
+
+
+# --------------------------------------------------------------------------
+# resilience state: rows stream as measured; any exit path emits final JSON
+# --------------------------------------------------------------------------
+
+ROWS = {}
+STATE = {
+    "finalized": False,
+    "deadline": None,        # monotonic time after which the watchdog fires
+    "last_progress": time.monotonic(),
+    "stall_limit_s": 420.0,  # no sync/row for this long => wedged window
+    "partial_reason": None,
+    "emit_lock": threading.Lock(),
+}
+
+
+def emit(key, value):
+    """Record one measurement and stream it immediately (flushed)."""
+    with STATE["emit_lock"]:
+        ROWS[key] = value
+        print(f"# {key}: {value}", file=sys.stderr, flush=True)
+        try:
+            with open(STREAM_PATH, "a") as f:
+                f.write(json.dumps({key: value}) + "\n")
+        except OSError:
+            pass
+    STATE["last_progress"] = time.monotonic()
+
+
+def _headline(rows):
+    """Best serving configuration among whatever rows exist."""
+    candidates = {}
+    for key, name in (
+        ("greedy_k8_infer_videos_per_s", "greedy_k8"),
+        ("greedy_infer_dev_videos_per_s", "greedy_dev_f32_B16"),
+    ):
+        if key in rows:
+            candidates[name] = rows[key]
+    for key, val in rows.items():
+        # greedy_dev_bf16_B{B}_videos_per_s and the fused-decode rows
+        if key.startswith("greedy_dev_bf16_B") and key.endswith("_videos_per_s"):
+            candidates[key[: -len("_videos_per_s")]] = val
+        if key.startswith("greedy_infer_dev_bf16_fused") and key.endswith(
+                "_videos_per_s"):
+            candidates[key[len("greedy_infer_dev_"):-len("_videos_per_s")]
+                       + "_B16"] = val
+    if not candidates:
+        return None, 0.0
+    best = max(candidates, key=candidates.get)
+    return best, candidates[best]
+
+
+def finalize(partial=False, reason=None, exit_now=False):
+    """Print the final JSON line from whatever ROWS holds. Idempotent."""
+    with STATE["emit_lock"]:
+        if STATE["finalized"]:
+            if exit_now:
+                os._exit(0)
+            return
+        STATE["finalized"] = True
+    rows = dict(ROWS)
+    rtt_samples = _RTT_STATE["samples"]
+    if rtt_samples:
+        rows.setdefault("tunnel_rtt_ms_min", round(min(rtt_samples), 2))
+        rows.setdefault("tunnel_rtt_ms_max", round(max(rtt_samples), 2))
+    degraded = bool(rtt_samples) and min(rtt_samples) > RTT_DEGRADED_MS
+    headline_config, videos_per_sec = _headline(rows)
+    result = {
+        "metric": "dvc_inference_videos_per_sec_per_chip",
+        "value": videos_per_sec,
+        "unit": "videos/s",
+        "vs_baseline": round(videos_per_sec / 8.0, 3),
+        "headline_config": headline_config,
+        "degraded_window": degraded,
+        # the degraded flag tracks host<->device dispatch RTT, which only the
+        # host-fed rows pay; every headline candidate is device-resident or
+        # K-batched and reproduces within ~4% across healthy and degraded
+        # windows (587-676 v/s measured under 24-114 ms RTT)
+        "headline_rtt_sensitive": False,
+        "protocol": "best-of-2 passes (+1 retry on RTT>25ms); _dev rows use "
+                    "device-resident inputs; see bench.py docstring",
+        "rows": rows,
+    }
+    if partial:
+        result["partial"] = True
+        result["partial_reason"] = reason or STATE["partial_reason"]
+    print(json.dumps(result), flush=True)
+    if exit_now:
+        os._exit(0)
+
+
+def _signal_handler(signum, frame):  # noqa: ARG001
+    finalize(partial=True, reason=f"signal {signal.Signals(signum).name}",
+             exit_now=True)
+
+
+def _watchdog():
+    """Fires the partial dump if the budget runs out OR no sync/row progress
+    happens for stall_limit_s (a wedged tunnel blocks inside device_get, which
+    a signal alone may not interrupt cleanly — this thread always can)."""
+    while not STATE["finalized"]:
+        time.sleep(2.0)
+        now = time.monotonic()
+        if STATE["deadline"] is not None and now > STATE["deadline"]:
+            finalize(partial=True, reason="self budget exceeded", exit_now=True)
+        if now - STATE["last_progress"] > STATE["stall_limit_s"]:
+            finalize(partial=True,
+                     reason=f"no progress for {STATE['stall_limit_s']:.0f}s "
+                            "(tunnel stall)", exit_now=True)
+
+
+def budget_left():
+    if STATE["deadline"] is None:
+        return float("inf")
+    return STATE["deadline"] - time.monotonic()
+
+
+def probe_device_health(timeout_s=120.0, retries=1, retry_wait_s=20.0):
+    """Run one tiny matmul in a SUBPROCESS with a hard timeout. Returns
+    (ok, seconds_or_reason). A wedged tunnel hangs inside the runtime where
+    in-process timeouts can't always reach — the subprocess boundary can."""
+    code = ("import jax, jax.numpy as jnp, time; t0=time.time();"
+            "x=jnp.ones((512,512), jnp.bfloat16);"
+            "v=float((x@x).sum()); print('OK', round(time.time()-t0,1))")
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s,
+            )
+            if r.returncode == 0 and "OK" in r.stdout:
+                return True, float(r.stdout.split()[1])
+            reason = f"probe rc={r.returncode}: {r.stderr[-200:]}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe timed out after {timeout_s:.0f}s"
+        if attempt < retries:
+            time.sleep(retry_wait_s)
+    return False, reason
+
+
+def section(name):
+    """Context manager: a section failure records an error row, not a crash."""
+    class _Section:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, exc_type, exc, tb):
+            if exc is not None and not isinstance(exc, SystemExit):
+                emit(f"{name}_error", f"{type(exc).__name__}: {str(exc)[:200]}")
+                return True  # swallow: keep benching
+            return False
+    return _Section()
+
+
+# --------------------------------------------------------------------------
 
 
 def real_vocab_size():
@@ -127,6 +303,7 @@ def _sync(out):
     until everything before it finished."""
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jax.device_get(leaf.ravel()[0]))
+    STATE["last_progress"] = time.monotonic()
 
 
 _RTT_STATE = {"fn": None, "x": None, "samples": []}
@@ -191,11 +368,46 @@ def scrub_corrupt_cache(cache_dir="/tmp/mfl_jax_cache", min_size=1 << 20):
         except Exception:
             os.remove(f)
             print(f"# removed corrupted cache entry {os.path.basename(f)}",
-                  file=sys.stderr)
+                  file=sys.stderr, flush=True)
 
 
 def main():
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("MFL_BENCH_BUDGET_S", 1380)),
+                    help="self-imposed wall budget; on expiry the bench "
+                         "prints partial JSON and exits 0 (set below the "
+                         "driver's own timeout)")
+    ap.add_argument("--stall-limit-s", type=float, default=420.0,
+                    help="no-sync-progress window that declares the tunnel "
+                         "wedged and dumps partial results")
+    args, _ = ap.parse_known_args()
+
+    STATE["deadline"] = time.monotonic() + args.budget_s
+    STATE["stall_limit_s"] = args.stall_limit_s
+    signal.signal(signal.SIGTERM, _signal_handler)
+    signal.signal(signal.SIGINT, _signal_handler)
+    try:
+        signal.signal(signal.SIGALRM, _signal_handler)
+        signal.alarm(int(args.budget_s + 60))  # belt over the watchdog braces
+    except (AttributeError, ValueError):
+        pass
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        os.remove(STREAM_PATH)
+    except OSError:
+        pass
+
+    # -- device health FIRST: a wedged tunnel must produce a JSON line, not
+    #    a silent hang into the driver's timeout -----------------------------
+    ok, info = probe_device_health()
+    if not ok:
+        emit("device_health", f"WEDGED: {info}")
+        finalize(partial=True, reason=f"tpu tunnel wedged at start: {info}")
+        return
+    emit("device_health_probe_s", info)
 
     scrub_corrupt_cache()
     jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache")
@@ -228,13 +440,11 @@ def main():
     print(f"# vocab={vocab_size} batch={BATCH} "
           f"T={cfg.dataset.activity_net.video_rescale_len} "
           f"G={cfg.dataset.activity_net.max_gt_target_segments} "
-          f"Lc={cfg.dataset.activity_net.max_caption_len_all}", file=sys.stderr)
+          f"Lc={cfg.dataset.activity_net.max_caption_len_all}",
+          file=sys.stderr, flush=True)
 
-    rows = {}
-    rtt0 = measure_rtt()
-    rows["tunnel_rtt_ms"] = round(rtt0, 2)
+    emit("tunnel_rtt_ms", round(measure_rtt(), 2))
 
-    # ---------------- inference: host-fed (numpy) vs device-resident --------
     def make_infer(mdl):
         @jax.jit
         def infer(params, batch):
@@ -245,72 +455,69 @@ def main():
     infer32 = make_infer(model)
     infer16 = make_infer(model16)
     dev_batches = [jax.device_put(b) for b in batches]
-
     n_iters = 24
-    dt = time_fn(infer32, [(params, b) for b in batches], n_iters,
-                 (params, batches[0]))
-    rows["greedy_infer_videos_per_s"] = round(BATCH * n_iters / dt, 3)
-    dt = time_fn(infer32, [(params, b) for b in dev_batches], n_iters,
-                 (params, dev_batches[0]))
-    rows["greedy_infer_dev_videos_per_s"] = round(BATCH * n_iters / dt, 3)
-    rows["greedy_infer_dev_step_ms"] = round(1000 * dt / n_iters, 2)
-    dt = time_fn(infer16, [(params, b) for b in dev_batches], n_iters,
-                 (params, dev_batches[0]))
-    rows["greedy_infer_dev_bf16_videos_per_s"] = round(BATCH * n_iters / dt, 3)
-    rows["greedy_infer_dev_bf16_step_ms"] = round(1000 * dt / n_iters, 2)
 
-    # host-fed with bf16 TRANSFER (cfg.transfer_dtype serving analog): floats
-    # cast to bf16 on host (halving tunnel bytes), upcast inside the program.
-    # Measured in training: 254 -> 118 s/epoch (runs_conv_phase3.log)
-    import jax.numpy as jnp
+    # ---------------- headline serving rows FIRST (device-resident bf16) ----
+    with section("serve_dev_bf16"):
+        dt = time_fn(infer16, [(params, b) for b in dev_batches], n_iters,
+                     (params, dev_batches[0]))
+        emit("greedy_infer_dev_bf16_videos_per_s", round(BATCH * n_iters / dt, 3))
+        emit("greedy_infer_dev_bf16_step_ms", round(1000 * dt / n_iters, 2))
+        emit(f"greedy_dev_bf16_B{BATCH}_videos_per_s",
+             round(BATCH * n_iters / dt, 3))
 
-    def cast_tx(b):
-        return {k: np.asarray(v).astype(jnp.bfloat16)
-                if np.asarray(v).dtype == np.float32 else v
-                for k, v in b.items()}
+    # ---------------- fused Pallas decode-step kernel (VERDICT r3 item 1) ---
+    # same serve path, decode_impl="fused": one pallas_call per token runs all
+    # caption-decoder layers with the hidden state VMEM-resident; optional
+    # int8 cross-attn K/V halves the dominant decode HBM stream (item 2).
+    for name, kv in (("fused", "dense"), ("fused_int8", "int8")):
+        with section(f"serve_{name}"):
+            cfgF = _flagship_cfg(batch_size=BATCH)
+            cfgF.compute_dtype = "bfloat16"
+            cfgF.decode_impl = "fused"
+            cfgF.decode_kv = kv
+            mdlF = build_model(cfgF, vocab_size)
+            inferF = make_infer(mdlF)
+            dt = time_fn(inferF, [(params, b) for b in dev_batches], 16,
+                         (params, dev_batches[0]))
+            emit(f"greedy_infer_dev_bf16_{name}_videos_per_s",
+                 round(BATCH * 16 / dt, 3))
+            emit(f"greedy_infer_dev_bf16_{name}_step_ms",
+                 round(1000 * dt / 16, 2))
 
-    @jax.jit
-    def infer_tx16(params, batch):
-        batch = {k: v.astype(jnp.float32)
-                 if v.dtype == jnp.bfloat16 else v for k, v in batch.items()}
-        out, captions, indices, _, _ = model.forward_eval(params, batch, "serve")
-        return captions, out["pred_segments"], indices
+    # ---------------- K batches per dispatch (lax.scan) ---------------------
+    with section("serve_k8"):
+        K_INF = 8
 
-    tx_batches = [cast_tx(b) for b in batches]
-    dt = time_fn(infer_tx16, [(params, b) for b in tx_batches], n_iters,
-                 (params, tx_batches[0]))
-    rows["greedy_infer_txbf16_videos_per_s"] = round(BATCH * n_iters / dt, 3)
+        def make_infer_k(mdl):
+            @jax.jit
+            def infer_k(params, stacked):
+                def body(_, batch):
+                    out, captions, indices, _, _ = mdl.forward_eval(
+                        params, batch, "serve")
+                    return None, (captions, out["pred_segments"], indices)
 
-    # K batches per dispatch (lax.scan): amortizes host dispatch round-trips
-    K_INF = 8
+                _, outs = jax.lax.scan(body, None, stacked)
+                return outs
+            return infer_k
 
-    def make_infer_k(mdl):
-        @jax.jit
-        def infer_k(params, stacked):
-            def body(_, batch):
-                out, captions, indices, _, _ = mdl.forward_eval(params, batch, "serve")
-                return None, (captions, out["pred_segments"], indices)
+        stacked_inf = jax.device_put(
+            {k: np.stack([np.asarray(batches[i % len(batches)][k])
+                          for i in range(K_INF)])
+             for k in batches[0]}
+        )
+        dt = time_fn(make_infer_k(model), [(params, stacked_inf)], 3,
+                     (params, stacked_inf))
+        emit("greedy_k8_infer_videos_per_s", round(BATCH * K_INF * 3 / dt, 3))
 
-            _, outs = jax.lax.scan(body, None, stacked)
-            return outs
-        return infer_k
-
-    stacked_inf = jax.device_put(
-        {k: np.stack([np.asarray(batches[i % len(batches)][k])
-                      for i in range(K_INF)])
-         for k in batches[0]}
-    )
-    dt = time_fn(make_infer_k(model), [(params, stacked_inf)], 3,
-                 (params, stacked_inf))
-    rows["greedy_k8_infer_videos_per_s"] = round(BATCH * K_INF * 3 / dt, 3)
-
-    # ---------------- batch-scaling curve (serving, bf16 + f32 at B=16) -----
-    best_serve = (rows["greedy_infer_dev_bf16_videos_per_s"],
-                  f"greedy_dev_bf16_B{BATCH}")
-    for B in SERVE_BATCHES:
-        if B == BATCH:
-            vps = rows["greedy_infer_dev_bf16_videos_per_s"]
-        else:
+    # ---------------- batch-scaling curve (serving, bf16) -------------------
+    with section("serve_batch_curve"):
+        for B in SERVE_BATCHES:
+            if B == BATCH:
+                continue  # emitted above
+            if budget_left() < 240:
+                emit("serve_batch_curve_skipped", f"B>={B}: budget")
+                break
             cfgB = _flagship_cfg(batch_size=B)
             cfgB.compute_dtype = "bfloat16"
             mdlB = build_model(cfgB, vocab_size)
@@ -321,75 +528,156 @@ def main():
             nB = max(2, 384 // B)
             dt = time_fn(inferB, [(params, b) for b in bsB], nB,
                          (params, bsB[0]))
-            vps = round(B * nB / dt, 3)
-        rows[f"greedy_dev_bf16_B{B}_videos_per_s"] = vps
-        if vps > best_serve[0]:
-            best_serve = (vps, f"greedy_dev_bf16_B{B}")
+            emit(f"greedy_dev_bf16_B{B}_videos_per_s", round(B * nB / dt, 3))
 
-    # ---------------- fused Pallas decode-step kernel (VERDICT r3 item 1) ---
-    # same serve path, decode_impl="fused": one pallas_call per token runs all
-    # caption-decoder layers with the hidden state VMEM-resident; optional
-    # int8 cross-attn K/V halves the dominant decode HBM stream (item 2).
-    for name, kv in (("fused", "dense"), ("fused_int8", "int8")):
-        try:
-            cfgF = _flagship_cfg(batch_size=BATCH)
-            cfgF.compute_dtype = "bfloat16"
-            cfgF.decode_impl = "fused"
-            cfgF.decode_kv = kv
-            mdlF = build_model(cfgF, vocab_size)
-            inferF = make_infer(mdlF)
-            dt = time_fn(inferF, [(params, b) for b in dev_batches], 16,
-                         (params, dev_batches[0]))
-            vps = round(BATCH * 16 / dt, 3)
-            rows[f"greedy_infer_dev_bf16_{name}_videos_per_s"] = vps
-            rows[f"greedy_infer_dev_bf16_{name}_step_ms"] = round(
-                1000 * dt / 16, 2)
-            if vps > best_serve[0]:
-                best_serve = (vps, f"greedy_dev_bf16_{name}_B{BATCH}")
-        except Exception as e:  # noqa: BLE001 — record, don't kill the bench
-            rows[f"greedy_infer_dev_bf16_{name}_error"] = str(e)[:200]
+    # ---------------- f32 dev + host-fed rows -------------------------------
+    with section("serve_f32_and_hostfed"):
+        dt = time_fn(infer32, [(params, b) for b in dev_batches], n_iters,
+                     (params, dev_batches[0]))
+        emit("greedy_infer_dev_videos_per_s", round(BATCH * n_iters / dt, 3))
+        emit("greedy_infer_dev_step_ms", round(1000 * dt / n_iters, 2))
+        dt = time_fn(infer32, [(params, b) for b in batches], n_iters,
+                     (params, batches[0]))
+        emit("greedy_infer_videos_per_s", round(BATCH * n_iters / dt, 3))
+
+        # host-fed with bf16 TRANSFER (cfg.transfer_dtype serving analog):
+        # floats cast to bf16 on host (halving tunnel bytes), upcast inside
+        # the program. Measured in training: 254 -> 118 s/epoch
+        # (runs_conv_phase3.log)
+        import jax.numpy as jnp
+
+        def cast_tx(b):
+            return {k: np.asarray(v).astype(jnp.bfloat16)
+                    if np.asarray(v).dtype == np.float32 else v
+                    for k, v in b.items()}
+
+        @jax.jit
+        def infer_tx16(params, batch):
+            batch = {k: v.astype(jnp.float32)
+                     if v.dtype == jnp.bfloat16 else v for k, v in batch.items()}
+            out, captions, indices, _, _ = model.forward_eval(params, batch,
+                                                              "serve")
+            return captions, out["pred_segments"], indices
+
+        tx_batches = [cast_tx(b) for b in batches]
+        dt = time_fn(infer_tx16, [(params, b) for b in tx_batches], n_iters,
+                     (params, tx_batches[0]))
+        emit("greedy_infer_txbf16_videos_per_s", round(BATCH * n_iters / dt, 3))
 
     # ---------------- p50/p95 per-video latency (B=1, bf16 serving) ---------
-    cfg1 = _flagship_cfg(batch_size=1)
-    cfg1.compute_dtype = "bfloat16"
-    mdl1 = build_model(cfg1, vocab_size)
-    bs1 = [jax.device_put(b)
-           for b in real_batches(cfg1, vocab_size, n_batches=8, batch_size=1)]
-    infer1 = make_infer(mdl1)
-    _sync(infer1(params, bs1[0]))  # compile
-    lat = []
-    for i in range(24):
-        t0 = time.perf_counter()
-        _sync(infer1(params, bs1[i % len(bs1)]))
-        lat.append((time.perf_counter() - t0) * 1000)
-    lat = np.asarray(lat)
-    rows["latency_b1_p50_ms"] = round(float(np.percentile(lat, 50)), 2)
-    rows["latency_b1_p95_ms"] = round(float(np.percentile(lat, 95)), 2)
-    # note: B=1 latency over the tunnel includes one dispatch RTT; record it
-    rows["latency_rtt_ms_at_measure"] = round(measure_rtt(), 2)
+    with section("latency_b1"):
+        cfg1 = _flagship_cfg(batch_size=1)
+        cfg1.compute_dtype = "bfloat16"
+        mdl1 = build_model(cfg1, vocab_size)
+        bs1 = [jax.device_put(b)
+               for b in real_batches(cfg1, vocab_size, n_batches=8,
+                                     batch_size=1)]
+        infer1 = make_infer(mdl1)
+        _sync(infer1(params, bs1[0]))  # compile
+        lat = []
+        for i in range(24):
+            t0 = time.perf_counter()
+            _sync(infer1(params, bs1[i % len(bs1)]))
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat = np.asarray(lat)
+        emit("latency_b1_p50_ms", round(float(np.percentile(lat, 50)), 2))
+        emit("latency_b1_p95_ms", round(float(np.percentile(lat, 95)), 2))
+        # B=1 latency over the tunnel includes one dispatch RTT; record it
+        emit("latency_rtt_ms_at_measure", round(measure_rtt(), 2))
 
     # ---------------- other decode modes ------------------------------------
-    @jax.jit
-    def infer_fast(params, batch):
-        out, captions, indices, _, _ = model.forward_eval(
-            params, batch, "serve", faster_eval=True
-        )
-        return captions, out["pred_segments"], indices
+    with section("faster_eval_and_beam"):
+        @jax.jit
+        def infer_fast(params, batch):
+            out, captions, indices, _, _ = model.forward_eval(
+                params, batch, "serve", faster_eval=True
+            )
+            return captions, out["pred_segments"], indices
 
-    dt = time_fn(infer_fast, [(params, b) for b in dev_batches], 8,
-                 (params, dev_batches[0]))
-    rows["faster_eval_infer_videos_per_s"] = round(BATCH * 8 / dt, 3)
+        dt = time_fn(infer_fast, [(params, b) for b in dev_batches], 8,
+                     (params, dev_batches[0]))
+        emit("faster_eval_infer_videos_per_s", round(BATCH * 8 / dt, 3))
 
-    @jax.jit
-    def infer_beam(params, batch):
-        out, captions, indices, _, _ = model.forward_eval(
-            params, batch, "beam", beam_size=4
-        )
-        return captions, out["pred_segments"], indices
+        @jax.jit
+        def infer_beam(params, batch):
+            out, captions, indices, _, _ = model.forward_eval(
+                params, batch, "beam", beam_size=4
+            )
+            return captions, out["pred_segments"], indices
 
-    dt = time_fn(infer_beam, [(params, b) for b in dev_batches], 8,
-                 (params, dev_batches[0]))
-    rows["beam4_infer_videos_per_s"] = round(BATCH * 8 / dt, 3)
+        dt = time_fn(infer_beam, [(params, b) for b in dev_batches], 8,
+                     (params, dev_batches[0]))
+        emit("beam4_infer_videos_per_s", round(BATCH * 8 / dt, 3))
+
+    # ---------------- continuous-batching server (VERDICT r4 item 3) --------
+    # short in-bench load point: slot-refill server at production shapes,
+    # offered load above the static server's measured capacity; the full
+    # chunk/rps sweep lives in tools/load_test_serve.py + COMPONENTS.md.
+    if budget_left() > 300:
+        with section("serve_continuous"):
+            from multimodal_feature_learning_tpu.config import (
+                load_config, recompute_losses,
+            )
+            from serve import ContinuousDVCServer
+
+            scfg = load_config("train")
+            scfg.compute_dtype = "bfloat16"
+            recompute_losses(scfg)
+
+            class _V:
+                pad_idx, bos_idx, eos_idx = 1, 2, 3
+
+                def __getitem__(self, tok):
+                    return 0
+
+                def get_itos(self):
+                    return ["w"] * vocab_size
+
+            smodel = build_model(scfg, vocab_size, 1, 2, 3)
+            T, D = (scfg.dataset.activity_net.video_rescale_len,
+                    scfg.dvc.detr.feature_dim)
+            sparams = smodel.init(jax.random.PRNGKey(0), {
+                "video_tensor": np.zeros((16, T, D), np.float32),
+                "video_mask": np.zeros((16, T), bool),
+                "durations": np.ones((16,), np.float32),
+                "gt_segments": np.zeros(
+                    (16, scfg.dataset.activity_net.max_gt_target_segments, 2),
+                    np.float32),
+                "gt_mask": np.zeros(
+                    (16, scfg.dataset.activity_net.max_gt_target_segments),
+                    bool),
+                "cap_tokens": np.full(
+                    (16, scfg.dataset.activity_net.max_gt_target_segments,
+                     scfg.dataset.activity_net.max_caption_len_all), 1,
+                    np.int32),
+            })
+            server = ContinuousDVCServer(smodel, sparams, _V(), scfg,
+                                         batch_size=16, chunk=4)
+            rng = np.random.default_rng(0)
+            feats = [rng.standard_normal((180, D)).astype(np.float32)
+                     for _ in range(8)]
+            n_req, rps = 128, 100.0
+            lats, futs = [], []
+            t0 = time.monotonic()
+            for i in range(n_req):
+                ts = time.monotonic()
+                fut = server.submit(feats[i % len(feats)], 120.0)
+                fut.add_done_callback(
+                    lambda f, ts=ts: lats.append(time.monotonic() - ts))
+                futs.append(fut)
+                time.sleep(float(rng.exponential(1.0 / rps)))
+            for f in futs:
+                f.result()
+            dt = time.monotonic() - t0
+            server.close()
+            lat_ms = np.asarray(sorted(lats)) * 1000
+            emit("continuous_serve_rps_sustained", round(n_req / dt, 2))
+            emit("continuous_serve_p50_ms",
+                 round(float(np.percentile(lat_ms, 50)), 2))
+            emit("continuous_serve_p95_ms",
+                 round(float(np.percentile(lat_ms, 95)), 2))
+    else:
+        emit("serve_continuous_skipped", "budget")
 
     # ---------------- training ----------------------------------------------
     from multimodal_feature_learning_tpu.engine.state import (
@@ -418,11 +706,12 @@ def main():
         n_train = 12
         t0 = time.perf_counter()
         for i in range(n_train):
-            state, m, _ = train_step(state, dev_batches[i % len(dev_batches)], rng)
+            state, m, _ = train_step(state, dev_batches[i % len(dev_batches)],
+                                     rng)
         _sync(m["loss"])
         dt = time.perf_counter() - t0
-        rows[f"train{suffix}_videos_per_s"] = round(BATCH * n_train / dt, 3)
-        rows[f"train{suffix}_step_ms"] = round(1000 * dt / n_train, 2)
+        emit(f"train{suffix}_videos_per_s", round(BATCH * n_train / dt, 3))
+        emit(f"train{suffix}_step_ms", round(1000 * dt / n_train, 2))
 
         # K=8 optimizer steps in ONE XLA program: the device-time proxy (the
         # per-dispatch overhead is amortized 8x, so per-step wall ~= device)
@@ -442,67 +731,44 @@ def main():
             state2, m2, _ = multi_step(state2, stacked, rng)
         _sync(m2["loss"])
         dt8 = time.perf_counter() - t0
-        rows[f"train{suffix}_k8_videos_per_s"] = round(BATCH * K * n_disp / dt8, 3)
-        rows[f"train{suffix}_k8_step_ms"] = round(1000 * dt8 / (K * n_disp), 2)
+        emit(f"train{suffix}_k8_videos_per_s",
+             round(BATCH * K * n_disp / dt8, 3))
+        emit(f"train{suffix}_k8_step_ms", round(1000 * dt8 / (K * n_disp), 2))
         return train_step, state
 
-    train_step32, state_for_cost = run_train(model, "")
-    run_train(model16, "_bf16")
+    state_for_cost = None
+    with section("train_f32"):
+        train_step32, state_for_cost = run_train(model, "")
+    with section("train_bf16"):
+        if budget_left() > 180:
+            run_train(model16, "_bf16")
+        else:
+            emit("train_bf16_skipped", "budget")
 
     # MFU: XLA-reported FLOPs per train step / step time / peak. TPU v5e
     # peak is 197 TFLOP/s bf16. Reported against BOTH the single-dispatch
     # wall time and the k8 device-time proxy.
-    try:
-        lowered = jax.jit(train_step32).lower(state_for_cost, dev_batches[0], rng)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            rows["train_flops_per_step"] = flops
-            rows["train_mfu_pct"] = round(
-                100 * flops / (rows["train_step_ms"] / 1000) / 197e12, 2)
-            rows["train_mfu_device_pct"] = round(
-                100 * flops / (rows["train_k8_step_ms"] / 1000) / 197e12, 2)
-            rows["train_bf16_mfu_device_pct"] = round(
-                100 * flops / (rows["train_bf16_k8_step_ms"] / 1000) / 197e12, 2)
-    except Exception as e:  # cost_analysis is backend-dependent
-        print(f"# mfu unavailable: {e}", file=sys.stderr)
+    with section("mfu"):
+        if state_for_cost is not None:
+            lowered = jax.jit(train_step32).lower(state_for_cost,
+                                                  dev_batches[0], rng)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                emit("train_flops_per_step", flops)
+                emit("train_mfu_pct", round(
+                    100 * flops / (ROWS["train_step_ms"] / 1000) / 197e12, 2))
+                emit("train_mfu_device_pct", round(
+                    100 * flops / (ROWS["train_k8_step_ms"] / 1000) / 197e12,
+                    2))
+                if "train_bf16_k8_step_ms" in ROWS:
+                    emit("train_bf16_mfu_device_pct", round(
+                        100 * flops / (ROWS["train_bf16_k8_step_ms"] / 1000)
+                        / 197e12, 2))
 
-    rtt_samples = _RTT_STATE["samples"]
-    rows["tunnel_rtt_ms_min"] = round(min(rtt_samples), 2)
-    rows["tunnel_rtt_ms_max"] = round(max(rtt_samples), 2)
-    degraded = min(rtt_samples) > RTT_DEGRADED_MS
-
-    for k, v in rows.items():
-        print(f"# {k}: {v}", file=sys.stderr)
-
-    # headline: best serving configuration (K-batched dispatch or the
-    # batch-scaling winner), device-resident inputs, bf16 trunk
-    candidates = {
-        "greedy_k8": rows["greedy_k8_infer_videos_per_s"],
-        best_serve[1]: best_serve[0],
-        f"greedy_dev_f32_B{BATCH}": rows["greedy_infer_dev_videos_per_s"],
-    }
-    headline_config = max(candidates, key=candidates.get)
-    videos_per_sec = candidates[headline_config]
-    result = {
-        "metric": "dvc_inference_videos_per_sec_per_chip",
-        "value": videos_per_sec,
-        "unit": "videos/s",
-        "vs_baseline": round(videos_per_sec / 8.0, 3),
-        "headline_config": headline_config,
-        "degraded_window": bool(degraded),
-        # the degraded flag tracks host<->device dispatch RTT, which only the
-        # host-fed rows pay; every headline candidate is device-resident or
-        # K-batched and reproduces within ~4% across healthy and degraded
-        # windows (587-676 v/s measured under 24-114 ms RTT)
-        "headline_rtt_sensitive": False,
-        "protocol": "best-of-2 passes (+1 retry on RTT>25ms); _dev rows use "
-                    "device-resident inputs; see bench.py docstring",
-        "rows": rows,
-    }
-    print(json.dumps(result))
+    finalize(partial=False)
 
 
 if __name__ == "__main__":

@@ -90,16 +90,42 @@ def save_checkpoint(output_dir: str, state: TrainState, epoch: int, name: str = 
 
 
 def load_checkpoint(path: str, abstract_state: Optional[TrainState] = None) -> Dict:
+    """Restore a checkpoint onto `abstract_state`'s structure.
+
+    master_dtype may differ across save/resume (an f32-master checkpoint
+    resumed with cfg.master_dtype="bfloat16", or vice versa): the first
+    restore attempt uses the requested dtypes; if orbax rejects the
+    mismatched template, the checkpoint is restored with the OTHER master
+    dtype's template and then cast onto the requested one — i.e. the fold
+    (or unfold) applies after restore instead of failing the resume."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    target = None
-    if abstract_state is not None:
-        target = {
-            "state": jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract_state),
-            "epoch": 0,
-        }
-    return ckptr.restore(os.path.abspath(path), target)
+    if abstract_state is None:
+        return ckptr.restore(os.path.abspath(path))
+    target = {
+        "state": jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract_state),
+        "epoch": 0,
+    }
+    try:
+        return ckptr.restore(os.path.abspath(path), target)
+    except Exception:  # noqa: BLE001 — retry with the flipped master dtype
+        def _flip(t):
+            if not hasattr(t, "dtype") or not jnp.issubdtype(t.dtype, jnp.floating):
+                return t
+            alt = jnp.bfloat16 if t.dtype == jnp.dtype(jnp.float32) else jnp.float32
+            return jax.ShapeDtypeStruct(t.shape, alt)
+
+        alt_target = jax.tree_util.tree_map(_flip, target)
+        restored = ckptr.restore(os.path.abspath(path), alt_target)
+
+        def _cast(t, v):
+            if hasattr(t, "dtype") and jnp.issubdtype(
+                    getattr(t, "dtype", jnp.int32), jnp.floating):
+                return jnp.asarray(v).astype(t.dtype)
+            return v
+
+        return jax.tree_util.tree_map(_cast, target, restored)
 
 
 def shard_state(state: TrainState, mesh, tp_axis: Optional[str] = None) -> TrainState:

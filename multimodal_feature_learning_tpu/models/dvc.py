@@ -699,7 +699,7 @@ class UnimodalDVC:
         rows = jnp.arange(B)[:, None]
         segments = denormalize_segments(
             out["pred_segments"][rows, indices], durations[:, None]
-        )  # (B, G) seconds
+        )  # (B, G, 2) seconds
         return params, {
             "memory": memory,
             "caption_pad_mask": caption_pad_mask,

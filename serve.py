@@ -436,8 +436,13 @@ class ContinuousDVCServer(DVCServer):
                 self._params, self._zero_video, self._zero_mask,
                 np.ones((B,), np.float32))
             self._active[:] = False
-        except Exception:  # noqa: BLE001 — next dispatch will surface it
-            pass
+        except Exception as e:  # noqa: BLE001 — next dispatch will surface it
+            # record it: with the pool left pointing at donated buffers every
+            # later request fails until a rebuild succeeds, and a silent pass
+            # here makes that undiagnosable
+            self.stats["rebuild_errors"] = self.stats.get("rebuild_errors", 0) + 1
+            print(f"serve: resident-pool rebuild failed ({e!r}); "
+                  "will retry on next dispatch", file=__import__("sys").stderr)
 
 
 def _captions_to_strings(captions, vocab) -> List[str]:

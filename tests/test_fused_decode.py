@@ -5,7 +5,7 @@ greedy decode token for token — it is the flag-gated serving fast path
 (config `decode_impl`), and exact-token parity is the pinned invariant that
 lets it replace the default without moving the quality criterion.  Kernel
 runs in Pallas interpret mode on CPU (same jnp ops as the Mosaic build);
-on-chip parity/perf is measured by tools/profile_fused_decode.py.
+on-chip parity/perf is measured by tools/bench_fused_decode.py (A/B table in PERF.md).
 """
 
 import numpy as np

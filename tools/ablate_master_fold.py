@@ -74,7 +74,11 @@ def main():
         losses = []
         t0 = time.time()
         for i in range(args.steps):
-            state, m, _ = step(state, dev_batches[i % len(dev_batches)], rng)
+            # fold the step index into the key so dropout masks differ per
+            # step (curves reflect real training dynamics); both variants see
+            # the identical key sequence so the A/B stays exact
+            state, m, _ = step(state, dev_batches[i % len(dev_batches)],
+                               jax.random.fold_in(rng, i))
             losses.append(float(m["loss"]))  # sync each step
         dt = time.time() - t0
         rows[f"{name}_step_ms"] = round(1000 * dt / args.steps, 2)

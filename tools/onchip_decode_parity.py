@@ -1,0 +1,159 @@
+"""On-chip decode-backend parity at production shapes with TRAINED weights.
+
+tests/test_fused_decode.py pins exact-token parity of the fused Pallas
+decode-step kernel in Pallas INTERPRET mode on CPU; this tool closes the gap
+the round-4 verdict called out (items 2, 7 of VERDICT r4): it compares the
+actual Mosaic-compiled kernel against the XLA scan path ON THE REAL CHIP,
+over real val_1 annotation batches (synthetic features, real vocab), with a
+trained checkpoint — and measures the int8-K/V agreement rate at the same
+shapes (the quality gate's token-level half; the score-level half is
+tools/quality_compare.py --decode-kv int8).
+
+Reports, per backend vs the XLA baseline:
+  * event_exact_pct — fraction of (video, event) caption rows whose full
+    greedy token sequence matches exactly;
+  * token_agree_pct — per-token agreement over all caption positions;
+  * seg_max_delta — max |pred_segments| delta (decode backends must not
+    touch the proposal stack at all).
+
+Usage: python tools/onchip_decode_parity.py \
+           [--checkpoint runs/conv_e79/checkpoint] [--n-videos 128] \
+           [--configs fused,fused_int8] [--dtype bfloat16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="runs/conv_e79/checkpoint")
+    ap.add_argument("--n-videos", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="serving trunk dtype (production default bfloat16)")
+    ap.add_argument("--configs", default="fused,fused_int8")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mfl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multimodal_feature_learning_tpu.config import load_config_train
+    from multimodal_feature_learning_tpu.data.anet import build_dataset
+    from multimodal_feature_learning_tpu.data.loader import DataLoader, split_batch
+    from multimodal_feature_learning_tpu.models.dvc import build_model
+
+    cfg = load_config_train()
+    cfg.batch_size = args.batch
+    cfg.compute_dtype = args.dtype
+    cfg.use_differentiable_mask = False  # conv checkpoints train this path
+    _, vocab = build_dataset("train", cfg)
+    val_ds, _ = build_dataset("val", cfg, vocab)
+    val_ds.keys = sorted(val_ds.keys)[: args.n_videos]
+    anet = cfg.dataset.activity_net
+    loader = DataLoader(
+        val_ds, cfg.batch_size, vocab.pad_idx,
+        video_rescale_len=anet.video_rescale_len,
+        max_gt=anet.max_gt_target_segments,
+        max_caption_len=anet.max_caption_len_all,
+        shuffle=False, seed=0,
+    )
+
+    def make_model(decode_impl, decode_kv):
+        c = load_config_train()
+        c.batch_size = args.batch
+        c.compute_dtype = args.dtype
+        c.use_differentiable_mask = False
+        c.decode_impl = decode_impl
+        c.decode_kv = decode_kv
+        return build_model(c, len(vocab), vocab.pad_idx, vocab.bos_idx,
+                           vocab.eos_idx)
+
+    model = make_model("xla", "dense")
+    batch0_arrays, _ = split_batch(next(iter(loader)))
+    params = model.init(jax.random.PRNGKey(0), batch0_arrays)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from multimodal_feature_learning_tpu.engine.state import (
+            create_train_state, load_checkpoint, make_optimizer,
+        )
+
+        tx = make_optimizer(cfg, steps_per_epoch=1)
+        restored = load_checkpoint(args.checkpoint,
+                                   create_train_state(params, tx))
+        params = restored["state"].params
+        ckpt_desc = f"{args.checkpoint} (epoch {restored['epoch']})"
+    else:
+        ckpt_desc = "fresh init (no checkpoint found)"
+    params = jax.device_put(params)
+
+    def make_infer(mdl):
+        @jax.jit
+        def infer(p, b):
+            out, captions, indices, _, _ = mdl.forward_eval(p, b, "serve")
+            return captions, out["pred_segments"], indices
+        return infer
+
+    batches = []
+    for batch in loader:
+        arrays, meta = split_batch(batch)
+        batches.append((jax.device_put(arrays), len(meta["keys"])))
+
+    def run(mdl):
+        infer = make_infer(mdl)
+        caps, segs = [], []
+        for arrays, _ in batches:
+            c, s, idx = infer(params, arrays)
+            caps.append(np.asarray(jax.device_get(c)))
+            segs.append(np.asarray(jax.device_get(s)))
+        return caps, segs
+
+    rows = {"checkpoint": ckpt_desc, "dtype": args.dtype,
+            "n_videos": args.n_videos,
+            "platform": jax.default_backend()}
+    t0 = time.time()
+    base_caps, base_segs = run(model)
+    rows["xla_s"] = round(time.time() - t0, 1)
+
+    for name in args.configs.split(","):
+        impl = "fused" if name.startswith("fused") else "xla"
+        kv = "int8" if name.endswith("int8") else "dense"
+        t0 = time.time()
+        caps, segs = run(make_model(impl, kv))
+        rows[f"{name}_s"] = round(time.time() - t0, 1)
+        n_events = n_exact = n_tok = n_tok_agree = 0
+        seg_delta = 0.0
+        for bc, bb, bs, bbs in zip(caps, base_caps, segs, base_segs):
+            # captions: (rows, L) token ids, aligned row-for-row (identical
+            # proposal stack => identical matched events in identical order)
+            n_events += bc.shape[0]
+            n_exact += int((bc == bb).all(axis=-1).sum())
+            n_tok += bc.size
+            n_tok_agree += int((bc == bb).sum())
+            seg_delta = max(seg_delta,
+                            float(np.max(np.abs(bs.astype(np.float32)
+                                                - bbs.astype(np.float32)))))
+        rows[f"{name}_event_exact_pct"] = round(100 * n_exact / max(n_events, 1), 2)
+        rows[f"{name}_token_agree_pct"] = round(100 * n_tok_agree / max(n_tok, 1), 3)
+        rows[f"{name}_events"] = n_events
+        rows[f"{name}_seg_max_delta"] = seg_delta
+        print(f"# {name}: {rows[f'{name}_event_exact_pct']}% rows exact, "
+              f"{rows[f'{name}_token_agree_pct']}% tokens agree "
+              f"({n_events} rows)", file=sys.stderr)
+
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,12 @@ def parse_args():
     p.add_argument("--checkpoint", default="",
                    help="orbax checkpoint dir from main.py (runs/<name>/checkpoint); "
                         "skips inline training and compares the trained model")
+    p.add_argument("--decode-impl", default="xla",
+                   help="our side's caption decode backend (xla|fused); the "
+                        "torch reference always runs its own loop — used to "
+                        "quality-gate the fused kernel / int8 K/V flags")
+    p.add_argument("--decode-kv", default="dense",
+                   help="our side's cross-attn K/V mode (dense|int8)")
     p.add_argument("--matmul-precision", default="highest",
                    help="jax_default_matmul_precision for the comparison; "
                         "'highest' = full f32 passes, apples-to-apples with "
@@ -75,6 +81,8 @@ def build_world(args):
     cfg.msda_backend = "gather"          # exact sampling, matches reference
     cfg.use_differentiable_mask = False  # crop-mask caption path on both sides
     cfg.dvc.losses = ["labels", "segments", "captions", "mask_prediction"]
+    cfg.decode_impl = args.decode_impl
+    cfg.decode_kv = args.decode_kv
 
     train_ds, vocab = build_dataset("train", cfg)
     val_ds, _ = build_dataset("val", cfg, vocab)

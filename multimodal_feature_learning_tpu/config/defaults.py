@@ -66,6 +66,11 @@ def load_config_train() -> ml_collections.ConfigDict:
     # compute dtype; "int8" quantizes per token (halves the dominant decode
     # HBM stream; flag-gated — greedy tokens may differ at ties)
     cfg.decode_kv = "dense"
+    # fused-kernel grid: "video" = one program per (layer, video) — measured
+    # 1.3x SLOWER than xla on-chip (PERF.md r5: 20-row matmuls + ~10us/program
+    # sequencing dominate); "batch" = Bt videos per program with
+    # block-diagonal attention (restores (Bt*2G, D)-row matmuls)
+    cfg.decode_fused_grid = "video"
     # TRAIN master-param dtype: "bfloat16" folds the f32 master copy (params
     # + adam moments in bf16) — ~15% fewer weight-side HBM bytes per step
     # (PERF.md byte attribution) at an update-precision cost; default keeps

@@ -109,7 +109,7 @@ def load_checkpoint(path: str, abstract_state: Optional[TrainState] = None) -> D
     }
     try:
         return ckptr.restore(os.path.abspath(path), target)
-    except Exception:  # noqa: BLE001 — retry with the flipped master dtype
+    except Exception as first_err:  # noqa: BLE001 — retry flipped master dtype
         def _flip(t):
             if not hasattr(t, "dtype") or not jnp.issubdtype(t.dtype, jnp.floating):
                 return t
@@ -117,7 +117,12 @@ def load_checkpoint(path: str, abstract_state: Optional[TrainState] = None) -> D
             return jax.ShapeDtypeStruct(t.shape, alt)
 
         alt_target = jax.tree_util.tree_map(_flip, target)
-        restored = ckptr.restore(os.path.abspath(path), alt_target)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), alt_target)
+        except Exception:  # noqa: BLE001
+            # not a master-dtype mismatch (e.g. a structural template
+            # mismatch): surface the ORIGINAL error, not the retry's
+            raise first_err from None
 
         def _cast(t, v):
             if hasattr(t, "dtype") and jnp.issubdtype(

@@ -214,6 +214,7 @@ def greedy_decode(
     zeroed_mask=None,
     decode_impl: str = "xla",     # "xla" | "fused" (Pallas decode-step kernel)
     kv_mode: str = "dense",       # "dense" | "int8" (fused path only)
+    fused_grid: str = "video",    # "video" | "batch" (ops/fused_decode.py)
     fused_interpret: bool = False,
 ):
     """KV-cached greedy decode; semantics of the reference eval loop
@@ -237,7 +238,8 @@ def greedy_decode(
             module, params, memory, memory_padding_mask, seq_len,
             bos_idx, eos_idx, pad_idx, faster_eval=faster_eval,
             groups=groups, zeroed_mask=zeroed_mask, kv_mode=kv_mode,
-            kv_dtype=kv_dtype, interpret=fused_interpret,
+            kv_dtype=kv_dtype, grid_mode=fused_grid,
+            interpret=fused_interpret,
         )
 
     N = memory.shape[0] * groups
@@ -398,6 +400,7 @@ def _greedy_decode_fused(
     zeroed_mask=None,
     kv_mode: str = "dense",
     kv_dtype=None,
+    grid_mode: str = "video",
     interpret: bool = False,
 ):
     """Greedy decode through the fused Pallas decode-step kernel.
@@ -478,7 +481,7 @@ def _greedy_decode_fused(
             x, k_caches, v_caches, t - 1, t,
             mem_k, mem_v, k_scales, v_scales, mask_i8, log_m, weights,
             G=G, num_heads=module.num_heads, has_bias_col=has_bias,
-            interpret=interpret,
+            grid_mode=grid_mode, interpret=interpret,
         )
         x_pred = x_out[:, G:, :].reshape(N, D)  # predict rows, event-major
         logits = (x_pred @ head_k + head_b).astype(jnp.float32)

@@ -308,6 +308,7 @@ class UnimodalDVC:
         # greedy-decode backend + fused-path K/V precision (config docstring)
         self.decode_impl = str(getattr(cfg, "decode_impl", "xla"))
         self.decode_kv = str(getattr(cfg, "decode_kv", "dense"))
+        self.decode_fused_grid = str(getattr(cfg, "decode_fused_grid", "video"))
 
         self.temporal_shapes = pyramid_shapes(
             det.video_rescale_len, det.num_feature_levels
@@ -563,6 +564,7 @@ class UnimodalDVC:
                     faster_eval=faster_eval, kv_dtype=kv_dtype, groups=G,
                     zeroed_mask=zeroed,
                     decode_impl=self.decode_impl, kv_mode=self.decode_kv,
+                    fused_grid=self.decode_fused_grid,
                 )
             if val_mode == "serve":
                 # pure inference: skip the loss-only teacher-forced pass and
@@ -641,6 +643,7 @@ class UnimodalDVC:
             faster_eval=faster_eval, kv_dtype=prep["kv_dtype"],
             groups=self.max_gt, zeroed_mask=prep["zeroed"],
             decode_impl=self.decode_impl, kv_mode=self.decode_kv,
+            fused_grid=self.decode_fused_grid,
         )  # (B*G, Lc+1)
         B = durations.shape[0]
         return {

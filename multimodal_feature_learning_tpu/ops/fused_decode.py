@@ -358,6 +358,184 @@ def _decode_step_kernel(
     x_out[0] = x
 
 
+def _decode_step_kernel_batch(
+    # scalar prefetch
+    scal_ref,                     # SMEM (2,): [step, valid_len]
+    # blocked inputs
+    x_ref,                        # (Bt, R, D) ct — embedded pair, t-major rows
+    kc_ref, vc_ref,               # (1, Bt, C, D) ct — self-attn caches
+    mk_ref, mv_ref,               # (1, Bt, Sp, D) ct or int8 — memory K/V
+    ks_ref, vs_ref,               # (1, Bt, 1, Sp) f32 — int8 scales
+    mask_ref,                     # (Bt, R, Sp) int8 — 1 = blocked
+    logm_ref,                     # (Bt, R, 1) f32
+    *rest,                        # 26 weight refs, 3 out refs, 2 scratch refs
+    G: int,
+    num_heads: int,
+    has_bias_col: bool,
+    kv_int8: bool,
+):
+    """Batch-tiled variant of `_decode_step_kernel` (grid (depth, B // Bt)).
+
+    The per-video grid (v1) measured 1.3x SLOWER than the XLA scan on-chip
+    (PERF.md "Fused Pallas decode-step kernel"): 96 programs per token whose
+    (R=20, D) matmuls are 16x below the XLA path's (B*R, D) row count, so
+    ~10 us/program of sequencing cost dominates the ~1.4 us of K/V
+    streaming. This variant keeps Bt videos per program: dense projections
+    run at (Bt*R, D) rows, and the attentions run per head as ONE
+    block-diagonal (Bt*R, Bt*C|Bt*Sp) masked matmul — cross-video logits are
+    computed and masked out (a Bt-fold FLOP overspend on the MXU, far below
+    the streaming bound) so the kernel stays two big matmuls per head
+    instead of Bt small ones.
+    """
+    wrefs = rest[: len(_W_ORDER)]
+    x_out, kc_out, vc_out = rest[len(_W_ORDER): len(_W_ORDER) + 3]
+    x_scr, asm_scr = rest[len(_W_ORDER) + 3:]
+    w = dict(zip(_W_ORDER, wrefs))
+
+    li = pl.program_id(0)
+    bg = pl.program_id(1)
+    step = scal_ref[0]
+    valid_len = scal_ref[1]
+
+    Bt, R, D = x_ref.shape
+    C = kc_ref.shape[2]
+    Sp = mk_ref.shape[2]
+    Tc = C // G
+    BtR, BtC, BtS = Bt * R, Bt * C, Bt * Sp
+    H = num_heads
+    Dh = D // H
+    scale = Dh ** -0.5
+    ct = x_ref.dtype
+
+    @pl.when(li == 0)
+    def _():
+        x_scr[bg] = x_ref[...].reshape(BtR, D)
+
+    x = x_scr[bg]  # (BtR, D) ct
+
+    def mxu_dot(a, b_mat, dims):
+        return jax.lax.dot_general(
+            a, b_mat, dims, preferred_element_type=jnp.float32
+        ).astype(ct)
+
+    def dense(v, kname, bname):
+        return mxu_dot(v, w[kname][0], (((1,), (0,)), ((), ()))) + w[bname][0]
+
+    # ---- self attention -------------------------------------------------
+    # project k/v for ALL rows (cheap at (BtR, D)), keep the commit rows
+    kx = dense(x, "sa_wk", "sa_bk").reshape(Bt, R, D)[:, :G]  # (Bt, G, D)
+    vx = dense(x, "sa_wv", "sa_bv").reshape(Bt, R, D)[:, :G]
+    k_patch = jnp.concatenate([kx] * Tc, axis=1).reshape(BtC, D)
+    v_patch = jnp.concatenate([vx] * Tc, axis=1).reshape(BtC, D)
+    # row j of the flat (BtC, D) cache: video b=j//C, pos p=(j//G)%Tc,
+    # event e=j%G; position `step`'s rows take the fresh projections
+    commit_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (BtC, 1), 0) // G
+    ) % Tc == step
+    kc = jnp.where(commit_row, k_patch, kc_ref[0].reshape(BtC, D))
+    vc = jnp.where(commit_row, v_patch, vc_ref[0].reshape(BtC, D))
+    kc_out[0] = kc.reshape(Bt, C, D)
+    vc_out[0] = vc.reshape(Bt, C, D)
+
+    q = dense(x, "sa_wq", "sa_bq")  # (BtR, D)
+
+    # block-diagonal mask over the flattened (row, key) grid
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (BtR, BtC), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (BtR, BtC), 1)
+    sa_blocked = (
+        (row_i // R != col_j // C)              # cross-video
+        | (col_j % G != (row_i % R) % G)        # cross-event
+        | ((col_j // G) % Tc >= valid_len)      # future positions
+    )
+
+    for h in range(H):
+        hs = slice(h * Dh, (h + 1) * Dh)
+        lg = mxu_dot(
+            q[:, hs], kc[:, hs], (((1,), (1,)), ((), ()))
+        ).astype(jnp.float32)  # (BtR, BtC)
+        lg = jnp.where(sa_blocked, NEG_MASK, lg) * scale
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        e = jnp.exp(lg - m)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        asm_scr[:, hs] = mxu_dot(
+            attn.astype(ct), vc[:, hs], (((1,), (0,)), ((), ()))
+        )
+
+    sa = dense(asm_scr[:], "sa_wo", "sa_bo")
+    x = _layer_norm(x + sa, w["ln1_s"][0], w["ln1_b"][0], ct)
+
+    # ---- cross attention (shared KV + optional bias column) --------------
+    qc = dense(x, "ca_wq", "ca_bq")  # (BtR, D)
+    own_block = jnp.concatenate(
+        [mask_ref[...].reshape(BtR, Sp) != 0] * Bt, axis=1
+    )  # (BtR, BtS): element (r, b'*Sp+s) = own mask[r, s]
+    row_i2 = jax.lax.broadcasted_iota(jnp.int32, (BtR, BtS), 0)
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (BtR, BtS), 1)
+    blocked = (row_i2 // R != col_s // Sp) | own_block
+    mem_k_flat = mk_ref[0].reshape(BtS, D)
+    mem_v_flat = mv_ref[0].reshape(BtS, D)
+    if kv_int8:
+        k_sc = jnp.concatenate([ks_ref[0, b] for b in range(Bt)], axis=1)
+        v_sc = jnp.concatenate([vs_ref[0, b] for b in range(Bt)], axis=1)
+
+    for h in range(H):
+        hs = slice(h * Dh, (h + 1) * Dh)
+        kh = mem_k_flat[:, hs]
+        vh = mem_v_flat[:, hs]
+        if kv_int8:
+            kh = kh.astype(ct)
+            vh = vh.astype(ct)
+        lg = mxu_dot(
+            qc[:, hs], kh, (((1,), (1,)), ((), ()))
+        ).astype(jnp.float32)  # (BtR, BtS)
+        if kv_int8:
+            lg = lg * k_sc  # (1, BtS) broadcast over rows
+        scaled = jnp.where(blocked, NEG_MASK, lg) * scale
+
+        if has_bias_col:
+            kb = w["ca_bk"][0][:, hs].astype(ct)           # (1, Dh)
+            vb = w["ca_bv"][0][:, hs].astype(jnp.float32)  # (1, Dh)
+            prod = qc[:, hs].astype(jnp.float32) * kb.astype(jnp.float32)
+            l_bias = jnp.sum(prod, axis=-1, keepdims=True).astype(ct).astype(
+                jnp.float32) * scale  # (BtR, 1)
+            bias_logit = l_bias + logm_ref[...].reshape(BtR, 1)
+            m_max = jnp.maximum(
+                jnp.max(scaled, axis=-1, keepdims=True), bias_logit
+            )
+            e_main = jnp.exp(scaled - m_max)
+            e_bias = jnp.exp(bias_logit - m_max)
+            denom = jnp.sum(e_main, axis=-1, keepdims=True) + e_bias
+            attn = e_main / denom
+            attn_bias = e_bias / denom  # (BtR, 1) f32
+            if kv_int8:
+                attn = attn * v_sc
+            out_h = mxu_dot(
+                attn.astype(ct), vh, (((1,), (0,)), ((), ()))
+            ).astype(jnp.float32) + attn_bias * vb
+        else:
+            m = jnp.max(scaled, axis=-1, keepdims=True)
+            e = jnp.exp(scaled - m)
+            attn = e / jnp.sum(e, axis=-1, keepdims=True)
+            if kv_int8:
+                attn = attn * v_sc
+            out_h = mxu_dot(
+                attn.astype(ct), vh, (((1,), (0,)), ((), ()))
+            ).astype(jnp.float32)
+        asm_scr[:, hs] = out_h.astype(ct)
+
+    ca = dense(asm_scr[:], "ca_wo", "ca_bo")
+    x = _layer_norm(x + ca, w["ln2_s"][0], w["ln2_b"][0], ct)
+
+    # ---- MLP --------------------------------------------------------------
+    h1 = dense(x, "mlp_w1", "mlp_b1")
+    h1 = _gelu_exact(h1, ct)
+    y = mxu_dot(h1, w["mlp_w2"][0], (((1,), (0,)), ((), ()))) + w["mlp_b2"][0]
+    x = _layer_norm(x + y, w["ln3_s"][0], w["ln3_b"][0], ct)
+
+    x_scr[bg] = x
+    x_out[...] = x.reshape(Bt, R, D)
+
+
 def fused_decode_step(
     x: jnp.ndarray,            # (B, R=2G, D) embedded pair, t-major rows
     k_caches: jnp.ndarray,     # (depth, B, C=Tc*G, D) position-major
@@ -375,6 +553,8 @@ def fused_decode_step(
     G: int,
     num_heads: int,
     has_bias_col: bool,
+    grid_mode: str = "video",  # "video" (v1) | "batch" (Bt videos/program)
+    batch_tile: int = 0,       # 0 = auto (largest divisor of B <= 8)
     interpret: bool = False,
 ):
     """One full decode step through all layers. Returns (x, k_caches, v_caches)."""
@@ -390,6 +570,17 @@ def fused_decode_step(
     scal = jnp.stack(
         [step.astype(jnp.int32), valid_len.astype(jnp.int32)]
     )
+
+    if grid_mode == "batch":
+        Bt = batch_tile or next(t for t in (8, 4, 2, 1) if B % t == 0)
+        if B % Bt:
+            raise ValueError(f"batch_tile {Bt} must divide B={B}")
+        return _fused_decode_step_batch(
+            scal, x, k_caches, v_caches, mem_k, mem_v, k_scales, v_scales,
+            mask_i8, log_m, weights, G=G, num_heads=num_heads,
+            has_bias_col=has_bias_col, kv_int8=kv_int8, batch_tile=Bt,
+            interpret=interpret,
+        )
 
     def w_spec(name):
         arr = weights[name]
@@ -440,7 +631,7 @@ def fused_decode_step(
         _decode_step_kernel,
         G=G, num_heads=num_heads,
         has_bias_col=has_bias_col, kv_int8=kv_int8,
-    )
+    )  # noqa: E306 — v1 per-video grid below
     kv_bytes = mem_k.dtype.itemsize if hasattr(mem_k.dtype, "itemsize") else 2
     x_out, kc_out, vc_out = pl.pallas_call(
         kernel,
@@ -460,6 +651,102 @@ def fused_decode_step(
                 + 4 * C * D * ct.itemsize      # caches in+out
             ) + depth * 12 * D * D * ct.itemsize,  # weights
             transcendentals=depth * B * R * (C + Sp),
+        ),
+        interpret=interpret,
+    )(scal, x, k_caches, v_caches, mem_k, mem_v, k_scales, v_scales,
+      mask_i8, log_m, *[weights[n] for n in _W_ORDER])
+    return x_out, kc_out, vc_out
+
+
+def _fused_decode_step_batch(
+    scal, x, k_caches, v_caches, mem_k, mem_v, k_scales, v_scales,
+    mask_i8, log_m, weights, *, G, num_heads, has_bias_col, kv_int8,
+    batch_tile, interpret,
+):
+    """pallas_call builder for the batch-tiled grid (depth, B // Bt).
+
+    Grid order puts the batch group innermost, so a layer's weight blocks
+    (indexed by li only) are revisited — fetched once per layer per token —
+    while the (li, bg)-indexed K/V and cache blocks stream through the
+    pipeline's double buffers."""
+    depth, B, C, D = k_caches.shape
+    R = x.shape[1]
+    Sp = mem_k.shape[2]
+    ct = x.dtype
+    Bt = batch_tile
+    nbg = B // Bt
+
+    def w_spec(name):
+        arr = weights[name]
+        blk = (1,) + arr.shape[1:]
+        return pl.BlockSpec(
+            blk, lambda li, bg, _s: (li,) + (0,) * (arr.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(depth, nbg),
+        in_specs=[
+            pl.BlockSpec((Bt, R, D), lambda li, bg, _s: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # x
+            pl.BlockSpec((1, Bt, C, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # kc
+            pl.BlockSpec((1, Bt, C, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # vc
+            pl.BlockSpec((1, Bt, Sp, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # mem_k
+            pl.BlockSpec((1, Bt, Sp, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # mem_v
+            pl.BlockSpec((1, Bt, 1, Sp), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # k_scales
+            pl.BlockSpec((1, Bt, 1, Sp), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # v_scales
+            pl.BlockSpec((Bt, R, Sp), lambda li, bg, _s: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # mask
+            pl.BlockSpec((Bt, R, 1), lambda li, bg, _s: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),                     # log_m
+        ] + [w_spec(n) for n in _W_ORDER],
+        out_specs=[
+            pl.BlockSpec((Bt, R, D), lambda li, bg, _s: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, C, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, C, D), lambda li, bg, _s: (li, bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbg, Bt * R, D), ct),  # hidden-state carry
+            pltpu.VMEM((Bt * R, D), ct),       # head-assembly buffer
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_step_kernel_batch,
+        G=G, num_heads=num_heads,
+        has_bias_col=has_bias_col, kv_int8=kv_int8,
+    )
+    kv_bytes = mem_k.dtype.itemsize if hasattr(mem_k.dtype, "itemsize") else 2
+    x_out, kc_out, vc_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, D), ct),
+            jax.ShapeDtypeStruct(k_caches.shape, k_caches.dtype),
+            jax.ShapeDtypeStruct(v_caches.shape, v_caches.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # block-diagonal attention overspends FLOPs Bt-fold by design
+            flops=2 * depth * B * R * D * (
+                2 * D * 4 + 2 * Bt * C + 2 * Bt * Sp + 2 * 4 * D),
+            bytes_accessed=depth * B * (
+                2 * Sp * D * kv_bytes          # mem K/V
+                + 4 * C * D * ct.itemsize      # caches in+out
+            ) + depth * 12 * D * D * ct.itemsize,  # weights
+            transcendentals=depth * B * R * Bt * (C + Sp),
         ),
         interpret=interpret,
     )(scal, x, k_caches, v_caches, mem_k, mem_v, k_scales, v_scales,

@@ -42,16 +42,26 @@ class DVCServer:
                  rank: str = "stability", max_queue: int = 0):
         import jax
 
+        import jax.numpy as jnp
+
         self.model = model
         self.vocab = vocab
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.rescale_len = cfg.dataset.activity_net.video_rescale_len
         self.feature_dim = cfg.dvc.detr.feature_dim
+        # cfg.transfer_dtype="bfloat16" halves the per-dispatch host->device
+        # feature bytes (the serving analog of the training-path rule that
+        # measured 254 -> 118 s/epoch); the program upcasts on device. With a
+        # bf16 compute trunk the features were getting cast at the first
+        # matmul anyway, so this only moves the cast across the link.
+        self._tx = (jnp.bfloat16
+                    if str(getattr(cfg, "transfer_dtype", "float32"))
+                    == "bfloat16" else np.float32)
 
         def step(params, video, mask, durations):
             return model.forward_serve(
-                params, video, mask, durations,
+                params, video.astype(jnp.float32), mask, durations,
                 faster_eval=faster_eval, rank=rank,
             )
 
@@ -78,7 +88,7 @@ class DVCServer:
         B, T, D = batch_size, self.rescale_len, self.feature_dim
         dummy = self._step(
             self._params,
-            np.zeros((B, T, D), np.float32),
+            np.zeros((B, T, D), self._tx),
             np.zeros((B, T), bool),
             np.ones((B,), np.float32),
         )
@@ -179,7 +189,7 @@ class DVCServer:
         import jax
 
         B, T, D = self.batch_size, self.rescale_len, self.feature_dim
-        video = np.zeros((B, T, D), np.float32)
+        video = np.zeros((B, T, D), np.float32)  # assembled f32, shipped _tx
         durations = np.ones((B,), np.float32)
         # per-item ingest failures must not take down co-batched requests:
         # fail that future, serve the rest on the zero-filled slot
@@ -195,7 +205,8 @@ class DVCServer:
                     fut.set_exception(e)
         mask = np.zeros((B, T), bool)  # every grid position is valid
         t0 = time.monotonic()
-        out = self._step(self._params, video, mask, durations)
+        out = self._step(self._params, video.astype(self._tx, copy=False),
+                         mask, durations)
         # one bulk fetch (4 sequential np.asarray calls would pay 4 tunnel
         # round trips per dispatch)
         host = jax.device_get(
@@ -260,9 +271,15 @@ class ContinuousDVCServer(DVCServer):
         self.seq_len = cfg.dataset.activity_net.max_caption_len_all
         self.pad_idx = vocab.pad_idx
         self.eos_idx = vocab.eos_idx
+        # same transfer-dtype rule as DVCServer: ship features bf16, upcast
+        # on device (cfg.transfer_dtype, default float32 = unchanged programs)
+        self._tx = (jnp.bfloat16
+                    if str(getattr(cfg, "transfer_dtype", "float32"))
+                    == "bfloat16" else np.float32)
 
         self._prefill = jax.jit(
-            lambda p, v, m, d: model.forward_serve_prefill(p, v, m, d, rank=rank)
+            lambda p, v, m, d: model.forward_serve_prefill(
+                p, v.astype(jnp.float32), m, d, rank=rank)
         )
         self._chunk_fn = jax.jit(
             lambda p, ctx, st, act: model.forward_serve_decode_chunk(
@@ -283,7 +300,7 @@ class ContinuousDVCServer(DVCServer):
 
         # bootstrap resident ctx/state on zero slots + warmup all 3 programs
         B, T, D = batch_size, self.rescale_len, self.feature_dim
-        self._zero_video = np.zeros((B, T, D), np.float32)
+        self._zero_video = np.zeros((B, T, D), self._tx)
         self._zero_mask = np.zeros((B, T), bool)
         ctx, state = self._prefill(
             self._params, self._zero_video, self._zero_mask,
@@ -557,6 +574,25 @@ def main():
                            faster_eval=args.faster_eval,
                            max_queue=args.max_queue)
 
+    # tunnel-health probe: the axon tunnel's dispatch RTT and host->device
+    # bandwidth fluctuate ~3-10x on ~10-min windows and the serve step is
+    # transfer-bound through it (9.6 MB/dispatch at B=16), so absolute rps
+    # is only comparable within a window — record the window in the row
+    import time as _time
+
+    probe = jax.jit(lambda v: v + 1)
+    xp = jax.device_put(np.float32(1.0))
+    np.asarray(jax.device_get(probe(xp)))
+    rtts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        np.asarray(jax.device_get(probe(xp)))
+        rtts.append((_time.perf_counter() - t0) * 1000)
+    t0 = _time.perf_counter()
+    zp = jax.device_put(np.ones((1200, 1000), np.float32))  # 4.8 MB
+    np.asarray(jax.device_get(zp.sum()))
+    tunnel_mb_s = 4.8 / max(_time.perf_counter() - t0, 1e-9)
+
     # request stream: real val features through the dataset's own loader path
     reqs = []
     for i in range(args.n_requests):
@@ -606,6 +642,8 @@ def main():
         "batch_size": args.batch_size,
         "max_wait_ms": args.max_wait_ms,
         "backend": jax.default_backend(),
+        "tunnel_rtt_ms": round(float(np.median(rtts)), 2),
+        "tunnel_mb_s": round(tunnel_mb_s, 1),
         "shed": shed,
         "dispatches": stats["dispatches"],
         "mean_batch_fill": round(stats["filled"] / max(stats["dispatches"], 1), 2),

@@ -47,17 +47,20 @@ def _decode(mod, params, memory, pad, zeroed, impl, **kw):
     )
 
 
+@pytest.mark.parametrize("grid", ["video", "batch"])
 @pytest.mark.parametrize("use_zeroed", [False, True])
 @pytest.mark.parametrize("faster_eval", [False, True])
-def test_exact_token_parity_f32(setup, use_zeroed, faster_eval):
+def test_exact_token_parity_f32(setup, use_zeroed, faster_eval, grid):
     mod, params, memory, pad, zeroed = setup
     z = zeroed if use_zeroed else None
     ref = _decode(mod, params, memory, pad, z, "xla", faster_eval=faster_eval)
-    fus = _decode(mod, params, memory, pad, z, "fused", faster_eval=faster_eval)
+    fus = _decode(mod, params, memory, pad, z, "fused",
+                  faster_eval=faster_eval, fused_grid=grid)
     np.testing.assert_array_equal(ref, fus)
 
 
-def test_exact_token_parity_bf16(setup):
+@pytest.mark.parametrize("grid", ["video", "batch"])
+def test_exact_token_parity_bf16(setup, grid):
     mod, params, memory, pad, zeroed = setup
     p16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -65,21 +68,35 @@ def test_exact_token_parity_bf16(setup):
     )
     m16 = memory.astype(jnp.bfloat16)
     ref = _decode(mod, p16, m16, pad, zeroed, "xla", kv_dtype=jnp.bfloat16)
-    fus = _decode(mod, p16, m16, pad, zeroed, "fused", kv_dtype=jnp.bfloat16)
+    fus = _decode(mod, p16, m16, pad, zeroed, "fused", kv_dtype=jnp.bfloat16,
+                  fused_grid=grid)
     np.testing.assert_array_equal(ref, fus)
 
 
-def test_int8_kv_mode_runs_and_mostly_agrees(setup):
+@pytest.mark.parametrize("grid", ["video", "batch"])
+def test_int8_kv_mode_runs_and_mostly_agrees(setup, grid):
     """int8 K/V is a lossy flag-gated mode: assert well-formed output and
     high (not exact) token agreement on this fixture; quality deltas are
-    gated by tools/quality_compare.py with decode_kv=int8."""
+    gated by tools/quality_compare.py with decode_kv=int8 (measured: see
+    QUALITY.md int8 section) and the on-chip agreement rate by
+    tools/onchip_decode_parity.py."""
     mod, params, memory, pad, zeroed = setup
     ref = _decode(mod, params, memory, pad, zeroed, "xla")
-    fus = _decode(mod, params, memory, pad, zeroed, "fused", kv_mode="int8")
+    fus = _decode(mod, params, memory, pad, zeroed, "fused", kv_mode="int8",
+                  fused_grid=grid)
     assert fus.shape == ref.shape and fus.dtype == ref.dtype
     assert np.all((fus >= 0) & (fus < VOCAB))
     agree = np.mean(ref == fus)
     assert agree >= 0.9, f"int8 token agreement {agree:.3f}"
+
+
+def test_batch_grid_matches_video_grid_exactly(setup):
+    """The two fused grids are the same math scheduled differently — their
+    tokens must agree exactly, not just with the XLA path."""
+    mod, params, memory, pad, zeroed = setup
+    a = _decode(mod, params, memory, pad, zeroed, "fused", fused_grid="video")
+    b = _decode(mod, params, memory, pad, zeroed, "fused", fused_grid="batch")
+    np.testing.assert_array_equal(a, b)
 
 
 def test_fused_requires_groups(setup):

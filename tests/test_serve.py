@@ -204,3 +204,43 @@ def test_dispatch_error_fails_future_not_server(world):
         assert server.stats.get("errors", 0) == 1
     finally:
         server.close()
+
+
+def test_transfer_bf16_matches_direct_on_cast_features(world):
+    """cfg.transfer_dtype="bfloat16" ships features bf16 and upcasts on
+    device; the result must equal a direct forward_serve on the SAME
+    bf16-rounded features (the cast is the only semantic change)."""
+    cfg, vocab, model, params = world
+    import copy
+
+    from serve import DVCServer
+
+    cfg16 = copy.deepcopy(cfg)
+    cfg16.transfer_dtype = "bfloat16"
+    rng = np.random.default_rng(3)
+    server = DVCServer(model, params, vocab, cfg16, batch_size=2,
+                       max_wait_ms=500.0)
+    try:
+        feats = rng.normal(size=(T_GRID, 32)).astype(np.float32)
+        events = server.submit(feats, 20.0).result(timeout=120)
+    finally:
+        server.close()
+
+    cast = np.asarray(feats.astype(jnp.bfloat16).astype(np.float32))
+    video = np.stack([cast, np.zeros_like(cast)])
+    direct = model.forward_serve(
+        params, video, np.zeros((2, T_GRID), bool),
+        np.array([20.0, 1.0], np.float32),
+    )
+    k = int(np.asarray(direct["k"])[0])
+    assert len(events) == k
+    from multimodal_feature_learning_tpu.utils.postprocess import (
+        captions_to_string,
+    )
+
+    want = captions_to_string(np.asarray(direct["captions"])[0, :k], vocab)
+    for j, ev in enumerate(events):
+        np.testing.assert_allclose(
+            ev["segment"], np.asarray(direct["segments"])[0, j],
+            rtol=1e-5, atol=1e-5)
+        assert ev["caption"] == want[j]

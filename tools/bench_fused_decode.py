@@ -21,7 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=24)
-    ap.add_argument("--configs", default="xla,fused,fused_int8")
+    ap.add_argument("--configs", default="xla,fused,fusedb,fusedb_int8",
+                    help="xla | fused[b][_int8]: 'b' = batch-tiled grid "
+                         "(cfg.decode_fused_grid='batch')")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +47,8 @@ def main():
         cfg.compute_dtype = "bfloat16"
         if name.startswith("fused"):
             cfg.decode_impl = "fused"
+            cfg.decode_fused_grid = ("batch" if name.startswith("fusedb")
+                                     else "video")
         if name.endswith("int8"):
             cfg.decode_kv = "int8"
         model = build_model(cfg, vocab_size)
@@ -63,8 +67,13 @@ def main():
             return captions, out["pred_segments"], indices
 
         t0 = time.time()
-        dt = time_fn(infer, [(params, b) for b in dev_batches], args.iters,
-                     (params, dev_batches[0]))
+        try:
+            dt = time_fn(infer, [(params, b) for b in dev_batches], args.iters,
+                         (params, dev_batches[0]))
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            rows[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"# {name} FAILED: {rows[f'{name}_error']}", file=sys.stderr)
+            continue
         rows[f"{name}_videos_per_s"] = round(B * args.iters / dt, 3)
         rows[f"{name}_step_ms"] = round(1000 * dt / args.iters, 2)
         rows[f"{name}_total_s"] = round(time.time() - t0, 1)

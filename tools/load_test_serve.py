@@ -46,14 +46,28 @@ def main():
     ap.add_argument("--chunks", default="2,4,8")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--timeout-s", type=int, default=900)
+    ap.add_argument("--overrides", default="compute_dtype=bfloat16,use_differentiable_mask=false",
+                    help="comma-separated cfg overrides forwarded to serve.py "
+                         "(default: the production bf16 serving trunk)")
+    ap.add_argument("--resume", default="runs/conv_e79/checkpoint",
+                    help="checkpoint for every point (TRAINED weights matter: "
+                         "untrained captions never emit <eos>, so every row "
+                         "decodes to max length and slot-refill's advantage "
+                         "— harvesting short captions early — is defined "
+                         "away; '' = fresh init)")
     args = ap.parse_args()
 
     points = []
-    modes = [("static", ["--batch-size", str(args.batch_size)])]
+    extra = []
+    if args.resume:
+        extra += ["--resume", args.resume]
+    if args.overrides:
+        extra += ["--config-overrides"] + args.overrides.split(",")
+    modes = [("static", ["--batch-size", str(args.batch_size)] + extra)]
     for c in args.chunks.split(","):
         modes.append((f"continuous_c{c}",
                       ["--continuous", "--chunk", c,
-                       "--batch-size", str(args.batch_size)]))
+                       "--batch-size", str(args.batch_size)] + extra))
     for rps in args.rps.split(","):
         for name, margs in modes:
             res = run_point(margs, rps, args.n_requests, args.timeout_s)

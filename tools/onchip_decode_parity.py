@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="bfloat16",
                     help="serving trunk dtype (production default bfloat16)")
-    ap.add_argument("--configs", default="fused,fused_int8")
+    ap.add_argument("--configs", default="fused,fusedb,fusedb_int8",
+                    help="fused[b][_int8]: 'b' = batch-tiled kernel grid")
     args = ap.parse_args()
 
     import jax
@@ -71,13 +72,14 @@ def main():
         shuffle=False, seed=0,
     )
 
-    def make_model(decode_impl, decode_kv):
+    def make_model(decode_impl, decode_kv, fused_grid="video"):
         c = load_config_train()
         c.batch_size = args.batch
         c.compute_dtype = args.dtype
         c.use_differentiable_mask = False
         c.decode_impl = decode_impl
         c.decode_kv = decode_kv
+        c.decode_fused_grid = fused_grid
         return build_model(c, len(vocab), vocab.pad_idx, vocab.bos_idx,
                            vocab.eos_idx)
 
@@ -129,8 +131,14 @@ def main():
     for name in args.configs.split(","):
         impl = "fused" if name.startswith("fused") else "xla"
         kv = "int8" if name.endswith("int8") else "dense"
+        grid = "batch" if name.startswith("fusedb") else "video"
         t0 = time.time()
-        caps, segs = run(make_model(impl, kv))
+        try:
+            caps, segs = run(make_model(impl, kv, grid))
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            rows[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# {name} FAILED: {rows[f'{name}_error']}", file=sys.stderr)
+            continue
         rows[f"{name}_s"] = round(time.time() - t0, 1)
         n_events = n_exact = n_tok = n_tok_agree = 0
         seg_delta = 0.0

@@ -58,13 +58,21 @@ def load_config_train() -> ml_collections.ConfigDict:
     cfg.compute_dtype = "float32"
     # greedy-decode backend for eval/serve: "xla" (lax.scan of XLA kernels)
     # or "fused" (one Pallas decode-step kernel per token running all
-    # caption-decoder layers; ops/fused_decode.py — exact-token parity
-    # pinned by tests/test_fused_decode.py). "fused" requires the grouped
-    # shared-KV memory layout, i.e. the unimodal feature families.
+    # caption-decoder layers; ops/fused_decode.py — exact-token parity in
+    # interpret mode per tests/test_fused_decode.py; ON-CHIP the Mosaic
+    # build flips near-tie argmaxes vs the XLA scan: 84.7% of event rows
+    # exact / 94.5% token agreement measured at conv_e79 bf16,
+    # tools/onchip_decode_parity.py). "fused" requires the grouped
+    # shared-KV memory layout, i.e. the unimodal feature families; it also
+    # measured SLOWER than xla on-chip in both grids (PERF.md round 5), so
+    # xla is the default on merit, not caution.
     cfg.decode_impl = "xla"
     # cross-attn memory K/V precision for the FUSED decode: "dense" keeps the
     # compute dtype; "int8" quantizes per token (halves the dominant decode
-    # HBM stream; flag-gated — greedy tokens may differ at ties)
+    # HBM stream; measured on-chip at conv_e79: 82.9% event rows / 93.4%
+    # tokens agree with the xla path, and NO speed win — the decode is
+    # latency-bound, not K/V-bandwidth-bound; PERF.md round 5. Score-level
+    # deltas in QUALITY.md "int8" section.)
     cfg.decode_kv = "dense"
     # fused-kernel grid: "video" = one program per (layer, video) — measured
     # 1.3x SLOWER than xla on-chip (PERF.md r5: 20-row matmuls + ~10us/program

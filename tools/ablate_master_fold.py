@@ -21,6 +21,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lazy-sync", action="store_true",
+                    help="collect per-step loss arrays and fetch them ONCE "
+                         "at the end instead of float()-syncing every step: "
+                         "same curve, but the wall time measures device "
+                         "throughput instead of step+tunnel-RTT serialization")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +84,12 @@ def main():
             # the identical key sequence so the A/B stays exact
             state, m, _ = step(state, dev_batches[i % len(dev_batches)],
                                jax.random.fold_in(rng, i))
-            losses.append(float(m["loss"]))  # sync each step
+            if args.lazy_sync:
+                losses.append(m["loss"])  # device array; fetched below
+            else:
+                losses.append(float(m["loss"]))  # sync each step
+        if args.lazy_sync:
+            losses = [float(v) for v in jax.device_get(losses)]
         dt = time.time() - t0
         rows[f"{name}_step_ms"] = round(1000 * dt / args.steps, 2)
         rows[f"{name}_loss_first"] = round(losses[0], 4)

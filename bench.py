@@ -467,14 +467,16 @@ def main():
              round(BATCH * n_iters / dt, 3))
 
     # ---------------- fused Pallas decode-step kernel (VERDICT r3 item 1) ---
-    # same serve path, decode_impl="fused": one pallas_call per token runs all
-    # caption-decoder layers with the hidden state VMEM-resident; optional
-    # int8 cross-attn K/V halves the dominant decode HBM stream (item 2).
+    # same serve path, decode_impl="fused" with the batch-tiled grid (the
+    # better of the two fused schedules, PERF.md round 5: 593 vs 522 v/s;
+    # both lose to the xla scan — these rows are the recorded negative
+    # result, kept so regressions/improvements in either path stay visible).
     for name, kv in (("fused", "dense"), ("fused_int8", "int8")):
         with section(f"serve_{name}"):
             cfgF = _flagship_cfg(batch_size=BATCH)
             cfgF.compute_dtype = "bfloat16"
             cfgF.decode_impl = "fused"
+            cfgF.decode_fused_grid = "batch"
             cfgF.decode_kv = kv
             mdlF = build_model(cfgF, vocab_size)
             inferF = make_infer(mdlF)

@@ -79,7 +79,10 @@ STATE = {
     "finalized": False,
     "deadline": None,        # monotonic time after which the watchdog fires
     "last_progress": time.monotonic(),
-    "stall_limit_s": 420.0,  # no sync/row for this long => wedged window
+    "stall_limit_s": 600.0,  # no sync/row for this long => wedged window
+                             # (600 not 420: a COLD k8-multistep compile is
+                             # a legitimate 5-7 min gap with no sync progress;
+                             # the budget still bounds the total run)
     "partial_reason": None,
     "emit_lock": threading.Lock(),
 }
@@ -380,7 +383,7 @@ def main():
                     help="self-imposed wall budget; on expiry the bench "
                          "prints partial JSON and exits 0 (set below the "
                          "driver's own timeout)")
-    ap.add_argument("--stall-limit-s", type=float, default=420.0,
+    ap.add_argument("--stall-limit-s", type=float, default=600.0,
                     help="no-sync-progress window that declares the tunnel "
                          "wedged and dumps partial results")
     args, _ = ap.parse_known_args()

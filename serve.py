@@ -286,10 +286,15 @@ class ContinuousDVCServer(DVCServer):
                 p, ctx, st, act, chunk),
             donate_argnums=(2,),
         )
+        # merge is NOT donated (unlike the per-chunk step): a failed admit
+        # dispatch must leave the resident ctx/state intact so only the NEW
+        # requests fail, not every in-flight slot's progress. The cost is one
+        # transient extra copy of the resident pool per admit wave (~0.3 ms
+        # of HBM traffic) — chunk keeps donation because it runs every cycle
+        # and its failure modes are device-fatal anyway.
         self._merge_fn = jax.jit(
             lambda ctx, st, nctx, nst, rep: model.merge_serve_slots(
                 ctx, st, nctx, nst, rep, self.G),
-            donate_argnums=(0, 1),
         )
         self._params = jax.device_put(params)
         self.stats = {"dispatches": 0, "filled": 0, "step_s": 0.0,
@@ -370,9 +375,16 @@ class ContinuousDVCServer(DVCServer):
                     self._ctx, self._state = self._merge_fn(
                         self._ctx, self._state, nctx, nst, replace)
                 except Exception as e:  # noqa: BLE001
-                    # the merge donated the resident state, so every active
-                    # slot's progress is gone, not just the new ones
-                    self._fail_slots(np.where(self._active)[0], e)
+                    # merge is non-donated, so the resident pool survives a
+                    # failed admit dispatch: fail ONLY this wave's requests;
+                    # active slots keep their progress
+                    self.stats["errors"] = self.stats.get("errors", 0) + 1
+                    for slot in np.where(replace)[0]:
+                        fut = self._slots[slot]
+                        self._slots[slot] = None
+                        self._active[slot] = False
+                        if fut is not None and not fut.done():
+                            fut.set_exception(e)
                 self.stats["prefills"] += 1
                 self.stats["step_s"] += time.monotonic() - t0
                 self.stats["filled"] += len(new_items)

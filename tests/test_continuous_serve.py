@@ -87,3 +87,53 @@ def test_continuous_single_request(world):  # noqa: F811
         server.close()
     direct = _direct(model, params, [req] * 4)
     _check([events], direct, vocab)
+
+
+def test_failed_admit_spares_active_slots(world):  # noqa: F811
+    """A failed admit dispatch (prefill/merge raising) must fail ONLY that
+    wave's requests — the merge is non-donated, so in-flight slots keep their
+    progress and still resolve correctly (ADVICE r4: blast radius)."""
+    import time as _time
+
+    from serve import ContinuousDVCServer
+
+    cfg, vocab, model, params = world
+    rng = np.random.default_rng(7)
+    server = ContinuousDVCServer(model, params, vocab, cfg,
+                                 batch_size=2, chunk=2)
+    try:
+        req_a = rng.normal(size=(T_GRID, 32)).astype(np.float32)
+        fut_a = server.submit(req_a, 21.0)
+        deadline = _time.monotonic() + 60
+        while server.stats["prefills"] < 1:  # A's admit wave has dispatched
+            assert _time.monotonic() < deadline, "request A never admitted"
+            _time.sleep(0.005)
+
+        # poison exactly one merge dispatch
+        real_merge = server._merge_fn
+        calls = {"n": 0}
+
+        def bad_merge(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected admit failure")
+            return real_merge(*a, **kw)
+
+        server._merge_fn = bad_merge
+        req_b = rng.normal(size=(T_GRID, 32)).astype(np.float32)
+        fut_b = server.submit(req_b, 9.0)
+
+        with pytest.raises(RuntimeError, match="injected admit failure"):
+            fut_b.result(timeout=120)
+        events_a = fut_a.result(timeout=120)  # A survives the failed admit
+
+        # A's result is still exactly the direct forward_serve answer
+        direct = _direct(model, params, [(req_a, 21.0), (req_a, 21.0)])
+        _check([events_a], direct, vocab)
+
+        # and the pool is healthy: a later request succeeds
+        server._merge_fn = real_merge
+        fut_c = server.submit(req_b, 9.0)
+        assert len(fut_c.result(timeout=120)) >= 1
+    finally:
+        server.close()

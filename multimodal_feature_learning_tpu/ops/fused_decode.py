@@ -7,16 +7,31 @@ of weights per token while the f32 attention logits round-trip HBM between
 the QK^T, softmax and attn@V kernels.  This module fuses ONE WHOLE DECODE
 STEP (all `depth` caption-decoder layers: self-attn + KV-cache commit,
 shared-KV cross-attn with the differentiable-mask bias column, MLP, three
-LayerNorms) into a single `pallas_call` with grid (depth, B):
+LayerNorms) into a single `pallas_call`, in either of TWO schedules
+(`grid_mode`):
 
+  * "video": grid (depth, B) — one program per (layer, video);
+  * "batch": grid (depth, B // Bt) — Bt videos per program, dense
+    projections at (Bt*2G, D) rows and per-head block-diagonal attention
+    (built after the per-video grid measured 1.3x slower than the XLA scan).
+
+Shared design in both:
   * the hidden state lives in a VMEM scratch across all grid iterations —
     it never touches HBM between layers;
-  * per (layer, video) program the cross-attn K/V block streams HBM exactly
-    once and the attention probabilities never leave VMEM;
+  * per program the cross-attn K/V block streams HBM exactly once and the
+    attention probabilities never leave VMEM;
   * layer weights are blocked on the layer axis, so Pallas' pipeline
     prefetches layer l+1's weights during layer l's compute;
   * optional int8 cross-attn K/V (per-token scales) halves the dominant
     K/V stream (VERDICT r3 item 2).
+
+MEASURED OUTCOME (round 5, PERF.md "Fused Pallas decode-step kernel"): both
+schedules LOSE to the XLA scan on-chip (522 / 593 vs ~678 videos/s at B=16
+bf16) and int8 K/V moves nothing — the per-token decode is latency-bound by
+its sequential dependency chain at ~30% of the streaming roofline, which
+fusion reshuffles but cannot remove. The kernel stays flag-gated
+(`cfg.decode_impl="fused"`, `cfg.decode_fused_grid`) as the documented
+record; `decode_impl="xla"` is the production default on merit.
 
 Math mirrors `models/layers.py::UnimodalCaptionDecoderLayer.incremental_pair`
 + `CrossAttention.attend` (shared-KV / bias-column path) operation for
